@@ -1,0 +1,41 @@
+"""Spark bar aggregation vs the sequential oracle (BarAggregator semantics)."""
+
+import numpy as np
+import pandas as pd
+
+from forex_feature_generator_spark.engine import bars as ebars
+from forex_feature_generator_spark.oracle import bars as obars
+
+
+def oracle_bars_df(ticks: pd.DataFrame, tf: int) -> pd.DataFrame:
+    rows = []
+    for source, g in ticks.groupby("source", sort=True):
+        g = g.sort_values("seq")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for k, b in enumerate(obars.aggregate_bars(
+                ts_us, g["bid"].to_numpy(), g["ask"].to_numpy(), tf)):
+            rows.append((source, b.ts_us, b.open, b.high, b.low, b.close,
+                         b.tick_volume, b.up, b.down, b.avg_spread,
+                         b.max_spread, b.min_spread, b.completion_idx, k))
+    return pd.DataFrame(rows, columns=[
+        "source", "bar_ts_us", "open", "high", "low", "close", "tick_volume",
+        "up", "down", "avg_spread", "max_spread", "min_spread",
+        "completion_seq", "bar_index"])
+
+
+def test_bars_match_oracle(spark, small_ticks):
+    sdf = spark.createDataFrame(small_ticks)
+    for tf in (1, 5):
+        got = (ebars.aggregate_bars(ebars.with_tick_direction(sdf), tf)
+               .orderBy("source", "bar_ts_us").toPandas())
+        exp = oracle_bars_df(small_ticks, tf).sort_values(
+            ["source", "bar_ts_us"]).reset_index(drop=True)
+        assert len(got) == len(exp), f"tf={tf}: {len(got)} vs {len(exp)}"
+        for c in ["source", "bar_ts_us", "tick_volume", "up", "down",
+                  "completion_seq", "bar_index"]:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), f"tf={tf} col={c}"
+        for c in ["open", "high", "low", "close", "max_spread", "min_spread"]:
+            np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                          err_msg=f"tf={tf} col={c}")
+        np.testing.assert_allclose(got["avg_spread"], exp["avg_spread"],
+                                   rtol=1e-12, atol=1e-15)
