@@ -1,0 +1,81 @@
+"""Per-feature statistics + normalization — Spark re-expression of
+FeatureStatisticsCollector + DataNormalizer (SURVEY §2.3, §3.3).
+
+Stats: one single-pass aggregation (count/avg/stddev_samp/min/max + exact
+`percentile` — the reference's nondeterministic 10k reservoir is replaced by
+exact quantiles with the same interpolation formula; documented deviation).
+
+Normalization: the 150-column select folds the 148 per-feature scalers into
+literal expressions (a broadcast of a 148-row stats table collapsed by
+constant folding) — a single narrow stage, no shuffle, full codegen."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.pipeline import FEATURE_NAMES
+from ..oracle.stats import normalization_type
+
+
+def compute_stats(df: DataFrame, feature_cols: list[str] | None = None) -> pd.DataFrame:
+    """Returns the stats table (feature,count,mean,stddev,min,max,q1,median,q3,iqr)."""
+    cols = feature_cols or FEATURE_NAMES
+    aggs = []
+    for c in cols:
+        col = F.col(f"`{c}`")
+        finite = F.when(~F.isnan(col) & ~col.isin(float("inf"), float("-inf")), col)
+        aggs += [
+            F.count(finite).alias(f"{c}__count"),
+            F.avg(finite).alias(f"{c}__mean"),
+            F.stddev_samp(finite).alias(f"{c}__stddev"),
+            F.min(finite).alias(f"{c}__min"),
+            F.max(finite).alias(f"{c}__max"),
+            F.percentile(finite, F.lit([0.25, 0.5, 0.75])).alias(f"{c}__q"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in cols:
+        q = row[f"{c}__q"] or [0.0, 0.0, 0.0]
+        std = row[f"{c}__stddev"]
+        out.append((c, row[f"{c}__count"], row[f"{c}__mean"],
+                    0.0 if std is None else std,
+                    row[f"{c}__min"], row[f"{c}__max"],
+                    q[0], q[1], q[2], q[2] - q[0]))
+    return pd.DataFrame(out, columns=["feature", "count", "mean", "stddev",
+                                      "min", "max", "q1", "median", "q3", "iqr"])
+
+
+def normalize(df: DataFrame, stats: pd.DataFrame,
+              feature_cols: list[str] | None = None) -> DataFrame:
+    """Applies the per-feature scaler (DataNormalizer.cs:156-194) as literal
+    column expressions; non-feature columns pass through unchanged."""
+    cols = feature_cols or FEATURE_NAMES
+    st = stats.set_index("feature")
+    exprs = []
+    for name in df.columns:
+        if name not in st.index or name not in cols:
+            exprs.append(F.col(f"`{name}`"))
+            continue
+        s = st.loc[name]
+        c = F.col(f"`{name}`")
+        t = normalization_type(name)
+        bad = F.isnan(c) | c.isin(float("inf"), float("-inf"))
+        if t == "standard":
+            e = F.lit(0.0) if s["stddev"] < 1e-10 else (c - F.lit(float(s["mean"]))) / F.lit(float(s["stddev"]))
+        elif t == "robust":
+            e = F.lit(0.0) if s["iqr"] < 1e-10 else (c - F.lit(float(s["median"]))) / F.lit(float(s["iqr"]))
+        elif t == "quantile":
+            rng = s["max"] - s["min"]
+            e = (F.lit(0.5) if rng < 1e-10 else
+                 F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+                            (c - F.lit(float(s["min"]))) / F.lit(float(rng)))))
+        elif t == "minmax":
+            rng = s["max"] - s["min"]
+            e = (F.lit(0.0) if rng < 1e-10 else
+                 F.lit(2.0) * (c - F.lit(float(s["min"]))) / F.lit(float(rng)) - F.lit(1.0))
+        else:
+            e = c
+        exprs.append(F.when(bad, F.lit(0.0)).otherwise(e).alias(name))
+    return df.select(*exprs)

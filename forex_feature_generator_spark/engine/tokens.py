@@ -1,0 +1,106 @@
+"""North-rule pipeline over the tokenized-sequence table
+(doc_id, tokens: array<int32>, n_tok, source) — BASELINE.json input_hint.
+
+Bar-series mapping (FIXTURES.md F2): each row becomes an M1-like bar
+  open  = float(tokens[0])        high = float(max(tokens))
+  low   = float(min(tokens))      close = float(tokens[-1])
+  tick_volume = n_tok             spread = (high-low)/1e4
+  up/down volume from sign(close - lag(close)) over the doc_id order
+so the reference feature kernel applies unchanged while `tokens` passes
+through BYTE-IDENTICAL (per-row invariant).
+
+Two feature surfaces:
+  1. `window_features` — backfill / lag-lead deltas / gap-sessionize /
+     rolling mean-std-min-max-range / decayed mean, all pure pyspark.sql
+     windows (JVM, whole-stage codegen).
+  2. `full_features` — the 148 reference calculators over the derived bar
+     series via the same cogrouped Arrow kernel as the tick pipeline
+     (M5-analog = 5-row tumbling aggregation on the derived minute clock).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .features import compute_features_pdf
+from .pipeline import FEATURES_SCHEMA, _features_fn
+from . import windows as WIN
+
+EPOCH_US = 1704153600000000  # 2024-01-02T00:00:00Z, matches synth.EPOCH
+
+
+def with_derived_series(seqs: DataFrame) -> DataFrame:
+    """Adds the bar-series mapping columns + a per-source minute clock
+    derived from the doc_id order (row i -> epoch + i minutes)."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    df = (seqs
+          .withColumn("seq", (F.row_number().over(w) - F.lit(1)).cast("long"))
+          .withColumn("ts_us", F.lit(EPOCH_US) + F.col("seq") * F.lit(60_000_000).cast("long"))
+          .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+          .withColumn("open", F.element_at("tokens", 1).cast("double"))
+          .withColumn("high", F.array_max("tokens").cast("double"))
+          .withColumn("low", F.array_min("tokens").cast("double"))
+          .withColumn("close", F.element_at("tokens", -1).cast("double"))
+          .withColumn("tick_volume", F.col("n_tok").cast("long"))
+          .withColumn("spread", (F.col("high") - F.col("low")) / F.lit(1e4)))
+    prev_close = F.lag("close").over(w)
+    df = (df
+          .withColumn("up", (prev_close.isNotNull() & (F.col("close") > prev_close)).cast("long"))
+          .withColumn("down", (prev_close.isNotNull() & (F.col("close") < prev_close)).cast("long")))
+    return df
+
+
+def window_features(seqs: DataFrame, session_gap_rows: int = 5,
+                    rolling_rows: int = 20) -> DataFrame:
+    """Pure window-function feature set; tokens pass through untouched."""
+    df = with_derived_series(seqs)
+    df = WIN.sessionize(df, "ts", session_gap_rows * 60.0, ["source"])
+    df = WIN.lag_lead_deltas(df, "close", ["source"], "seq", lags=(1, 5), leads=(1,))
+    df = WIN.rolling(df, "close", ["source"], "seq", rolling_rows)
+    df = WIN.rolling(df, "tick_volume", ["source"], "seq", rolling_rows,
+                     stats=("mean", "std"))
+    df = WIN.decayed_mean(df, "close", ["source"], "seq", rolling_rows, decay=0.9)
+    # backfill over an intentionally-sparse column (every 7th close observed)
+    df = df.withColumn("close_sparse",
+                       F.when(F.col("seq") % 7 == 0, F.col("close")))
+    df = WIN.forward_fill(df, "close_sparse", ["source"], "seq", "close_backfilled")
+    return df
+
+
+def _derived_bars(seqs_series: DataFrame, tf_rows: int) -> DataFrame:
+    """Tumbling tf_rows-row aggregation of the derived series into bars with
+    the engine's bar schema (completion semantics: next bar's first seq)."""
+    tf_us = tf_rows * 60_000_000
+    g = (seqs_series
+         .withColumn("bar_ts_us", F.col("ts_us") - (F.col("ts_us") % F.lit(tf_us)))
+         .groupBy("source", "bar_ts_us")
+         .agg(F.min_by("open", "seq").alias("open"),
+              F.max("high").alias("high"),
+              F.min("low").alias("low"),
+              F.max_by("close", "seq").alias("close"),
+              F.sum("tick_volume").alias("tick_volume"),
+              F.sum("up").alias("up"),
+              F.sum("down").alias("down"),
+              F.avg("spread").alias("avg_spread"),
+              F.max("spread").alias("max_spread"),
+              F.min("spread").alias("min_spread"),
+              F.min("seq").alias("first_seq")))
+    w = Window.partitionBy("source").orderBy("bar_ts_us")
+    return (g.withColumn("completion_seq", F.lead("first_seq").over(w))
+             .withColumn("bar_index", F.row_number().over(w) - F.lit(1))
+             .filter(F.col("completion_seq").isNotNull()))
+
+
+def full_features(seqs: DataFrame, warmup_bars: int = 260) -> DataFrame:
+    """148 reference features over the derived bar series, joined back to the
+    original rows; `tokens` byte-identical pass-through."""
+    series = with_derived_series(seqs)
+    m1 = _derived_bars(series, 1)
+    m5 = _derived_bars(series, 5)
+    feats = (m1.groupBy("source").cogroup(m5.groupBy("source"))
+             .applyInPandas(_features_fn(warmup_bars), schema=FEATURES_SCHEMA))
+    return (series
+            .select("source", "doc_id", "tokens", "n_tok", "ts_us")
+            .join(feats.drop("completion_seq", "timestamp"),
+                  ["source", "ts_us"], "inner"))
