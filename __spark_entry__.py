@@ -1,38 +1,795 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Every query aliases computed columns identically on both sides; float
+aggregates whose partial-combine order is nondeterministic are rounded on
+BOTH sides so the value-hash is stable.  Queries marked "no oracle" exercise
+Python-stub or Spark-internal-hash paths and get the weaker rows-only check
+(noted in the per-query docstring)."""
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from forex_feature_generator_spark.engine import windows as WIN
+from forex_feature_generator_spark.ops import dedup as D
+from forex_feature_generator_spark.ops import multimodal as MM
+from forex_feature_generator_spark.ops import similarity as SIM
+from forex_feature_generator_spark.ops import text as TXT
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship smoke query (sf0.001): the engine's window-operator chain
+# over the events stream — sessionize + rolling + lag/lead + backfill + as-of.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _load(spark, sf_dir, "events")
+    df = WIN.sessionize(ev, "ts", 1800.0, ["user_id"])
+    df = df.withColumn("seq", F.col("event_id"))
+    df = WIN.rolling(df, "value", ["user_id"], "seq", 20, stats=("mean", "max"))
+    df = WIN.lag_lead_deltas(df, "value", ["user_id"], "seq", lags=(1,), leads=(1,))
+    quotes = (ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+              .agg(F.round(F.avg("value"), 6).alias("ref_value"))
+              .withColumn("minute_end", F.col("minute") + F.expr("interval 1 minute")))
+    df = WIN.asof_join_backward(df, quotes, ["event_type"], "ts", "minute_end",
+                                ["ref_value"])
+    return df.select("event_id", "user_id", "event_type", "session_id",
+                     "value_rmean20", "value_rmax20", "value_lag1_delta",
+                     "value_lead1_delta", "ref_value")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q01_tumbling_ohlc(spark, sf_dir):
+    """Tumbling 1-minute OHLC bars + up/down tick volume per event_type
+    (SURVEY §2.3: BarAggregator re-expression over the events table)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    ev = (ev
+          .withColumn("up_t", (prev.isNotNull() & (F.col("value") > prev)).cast("int"))
+          .withColumn("down_t", (prev.isNotNull() & (F.col("value") < prev)).cast("int"))
+          .withColumn("bucket_ts", F.date_trunc("minute", "ts")))
+    key = F.struct("ts", "event_id")
+    return (ev.groupBy("event_type", "bucket_ts")
+            .agg(F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("up_t").alias("up_ticks"),
+                 F.sum("down_t").alias("down_ticks")))
+
+
+SQL_Q01 = """
+WITH t AS (
+  SELECT event_type, ts, event_id, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+         date_trunc('minute', ts) AS bucket_ts
+  FROM events)
+SELECT event_type, bucket_ts,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*) AS n_events,
+       sum(CASE WHEN prev IS NOT NULL AND value > prev THEN 1 ELSE 0 END) AS up_ticks,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS down_ticks
+FROM t GROUP BY event_type, bucket_ts
+"""
+
+
+def q02_data_quality(spark, sf_dir):
+    """Data-quality scan (Program.cs:131-177): per-entity value stats +
+    time-ordering violation count."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = ev.withColumn("viol",
+                       (F.lag("ts").over(w) > F.col("ts")).cast("int"))
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.coalesce(F.sum("viol"), F.lit(0)).alias("ts_violations")))
+
+
+SQL_Q02 = """
+WITH t AS (
+  SELECT event_type, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY event_id) > ts
+              THEN 1 ELSE 0 END AS viol
+  FROM events)
+SELECT event_type, round(avg(value), 6) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value,
+       count(*) AS n_rows, coalesce(sum(viol), 0) AS ts_violations
+FROM t GROUP BY event_type
+"""
+
+
+def q03_lag_lead(spark, sf_dir):
+    """Per-user lag/lead deltas (SURVEY §2.9 lag/lead)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("lag1_delta"),
+        (F.lead("value").over(w) - F.col("value")).alias("lead1_delta"),
+        F.lag("value", 5).over(w).alias("value_lag5"))
+
+
+SQL_Q03 = """
+SELECT event_id, user_id,
+       value - lag(value)  OVER w AS lag1_delta,
+       lead(value) OVER w - value AS lead1_delta,
+       lag(value, 5) OVER w AS value_lag5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q04_rolling(spark, sf_dir):
+    """Trailing 20-row rolling mean/min/max/stddev per event_type
+    (RollingWindow<T> -> rowsBetween frames)."""
+    ev = _load(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    std = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.avg("value").over(w), 6).alias("rmean20"),
+        F.min("value").over(w).alias("rmin20"),
+        F.max("value").over(w).alias("rmax20"),
+        F.round(F.when(~F.isnan(std), std), 6).alias("rstd20"))
+
+
+SQL_Q04 = """
+SELECT event_id, event_type,
+       round(avg(value) OVER w, 6) AS rmean20,
+       min(value) OVER w AS rmin20,
+       max(value) OVER w AS rmax20,
+       round(stddev_samp(value) OVER w, 6) AS rstd20
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q05_sessionize(spark, sf_dir):
+    """Gap-based sessionization (north rule; 30-minute inactivity gap)."""
+    ev = _load(spark, sf_dir, "events")
+    return (WIN.sessionize(ev, "ts", 1800.0, ["user_id"])
+            .select("event_id", "user_id", "session_id"))
+
+
+SQL_Q05 = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id,
+       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+FROM t
+"""
+
+
+def q06_backfill(spark, sf_dir):
+    """Forward-fill a sparse column (north-rule backfill): only every 7th
+    event observes the value; the rest inherit the latest earlier one."""
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("sparse", F.when(F.col("event_id") % 7 == 0, F.col("value")))
+    return (WIN.forward_fill(ev, "sparse", ["user_id"], "ts", "filled")
+            .select("event_id", "user_id", "filled"))
+
+
+SQL_Q06 = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN value END AS sparse
+  FROM events)
+SELECT event_id, user_id,
+       last_value(sparse IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM t
+"""
+
+
+def q07_asof_join(spark, sf_dir):
+    """Sorted-merge backward as-of join (SURVEY §2.4: the M5->M1 join shape):
+    each event joins the latest COMPLETED minute-aggregate of its type."""
+    ev = _load(spark, sf_dir, "events")
+    quotes = (ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+              .agg(F.round(F.avg("value"), 6).alias("ref_value"))
+              .withColumn("minute_end", F.col("minute") + F.expr("interval 1 minute")))
+    return (WIN.asof_join_backward(ev, quotes, ["event_type"], "ts", "minute_end",
+                                   ["ref_value"])
+            .select("event_id", "event_type", "ref_value"))
+
+
+SQL_Q07 = """
+WITH quotes AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         round(avg(value), 6) AS ref_value,
+         date_trunc('minute', ts) + INTERVAL 1 MINUTE AS minute_end
+  FROM events GROUP BY event_type, date_trunc('minute', ts))
+SELECT e.event_id, e.event_type, q.ref_value
+FROM events e
+ASOF LEFT JOIN quotes q
+  ON e.event_type = q.event_type AND e.ts >= q.minute_end
+"""
+
+
+def q08_warmup_filter(spark, sf_dir):
+    """Warm-up row_number filter (Program.cs:194,267)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 20)
+            .select("event_id", "user_id", "rn"))
+
+
+SQL_Q08 = """
+SELECT event_id, user_id, rn FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn > 20
+"""
+
+
+def q09_topk(spark, sf_dir):
+    """Top-10 users by total value (sort + limit)."""
+    ev = _load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 4).alias("total"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("total").desc(), F.col("user_id").asc())
+            .limit(10))
+
+
+SQL_Q09 = """
+SELECT user_id, round(sum(value), 4) AS total, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY total DESC, user_id ASC LIMIT 10
+"""
+
+
+def q10_broadcast_norm(spark, sf_dir):
+    """Broadcast-stats normalization (DataNormalizer StandardScaler over
+    lineitem numerics; the 150-entry stats map folded into expressions)."""
+    li = _load(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_extendedprice").alias("mp"), F.stddev_samp("l_extendedprice").alias("sp"),
+        F.avg("l_quantity").alias("mq"), F.stddev_samp("l_quantity").alias("sq"))
+    j = li.crossJoin(F.broadcast(stats))
+    return j.select(
+        "l_orderkey", "l_linenumber",
+        F.round((F.col("l_extendedprice") - F.col("mp")) / F.col("sp"), 6).alias("z_price"),
+        F.round((F.col("l_quantity") - F.col("mq")) / F.col("sq"), 6).alias("z_qty"))
+
+
+SQL_Q10 = """
+WITH s AS (SELECT avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp,
+                  avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice - s.mp) / s.sp, 6) AS z_price,
+       round((l_quantity - s.mq) / s.sq, 6) AS z_qty
+FROM lineitem, s
+"""
+
+
+def q11_forward_window(spark, sf_dir):
+    """Forward-looking label window (Program.cs:260-263 shape): max value in
+    the next 10 events minus the current value."""
+    ev = _load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, 10))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.max("value").over(w) - F.col("value"), 6).alias("future_gain"))
+
+
+SQL_Q11 = """
+SELECT event_id, user_id,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) - value,
+             6) AS future_gain
+FROM events
+"""
+
+
+def q12_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (aggregate coverage)."""
+    li = _load(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (f.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_Q12 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q13_feature_stats(spark, sf_dir):
+    """FeatureStatisticsCollector shape: count/mean/stddev/min/max + exact
+    interpolated quartiles per group."""
+    li = _load(spark, sf_dir, "lineitem")
+    q = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev"),
+                 F.min("l_extendedprice").alias("min_v"),
+                 F.max("l_extendedprice").alias("max_v"),
+                 F.round(q[0], 4).alias("q1"),
+                 F.round(q[1], 4).alias("median"),
+                 F.round(q[2], 4).alias("q3")))
+
+
+SQL_Q13 = """
+SELECT l_returnflag, count(*) AS cnt,
+       round(avg(l_extendedprice), 4) AS mean,
+       round(stddev_samp(l_extendedprice), 4) AS stddev,
+       min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q14_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text (ops/dedup.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+SQL_Q14 = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS kept_id, count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q15_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.08 so the
+    synthetic corpus yields a non-trivial pair set)."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.08)
+
+
+SQL_Q15 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+  FROM w),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = inter.id_a
+JOIN sz sb ON sb.id = inter.id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.08
+"""
+
+
+def _hex2int_sql(expr8: str) -> str:
+    """SQL for: 8-hex-char string -> bigint (matches Spark conv(x,16,10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', {expr8}[{i + 1}:{i + 1}]) - 1)::BIGINT"
+        f" * {16 ** (7 - i)}::BIGINT" for i in range(8))
+    return f"({terms})"
+
+
+def q16_minhash(spark, sf_dir):
+    """MinHash signature agreement: estimated-Jaccard pairs from 16-hash
+    signatures with md5-derived shingle hashes (scale path for q15)."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
+
+
+def _sql_q16() -> str:
+    from forex_feature_generator_spark.ops.dedup import MERSENNE_P, minhash_params
+    params = minhash_params(16)
+    h = _hex2int_sql("md5(s)[1:8]")
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a}::BIGINT * {h} + {b}::BIGINT) % {MERSENNE_P}::BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    sig_list = ", ".join(f"m{i}" for i in range(16))
+    # bands of 2 hashes: md5 over the comma-joined band values
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, md5(concat_ws(',', m{2 * bi}::VARCHAR, m{2 * bi + 1}::VARCHAR)) AS bhash, [{sig_list}] AS sig FROM sigs"
+        for bi in range(8))
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+shs AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+  FROM w),
+sigs AS (SELECT id, {mins} FROM shs),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sig AS sig_a, y.sig AS sig_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0, 6) AS est_jaccard
+FROM cand
+WHERE len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.05
+"""
+
+
+def q17_simhash(spark, sf_dir):
+    """SimHash near-dup pairs. NO ORACLE (xxhash64 token hashing is
+    Spark-internal) — rows-only check; exactness is covered by
+    tests/test_ops.py against a Python SimHash reference."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=14)
+
+
+def q18_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 query vectors
+    (broadcast query side; exact baseline for the LSH scale path)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+SQL_Q18 = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q WHERE c.neighbor_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q19_text_quality(spark, sf_dir):
+    """Text quality scoring: length/stopword/punctuation/uppercase ratios."""
+    docs = _load(spark, sf_dir, "documents")
+    return (TXT.quality_score(TXT.token_counts(docs))
+            .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_words",
+                    "punct_ratio", "stop_ratio", "avg_word_len", "quality"))
+
+
+_STOP_EN = "['the','and','of','to','in','is','that','for','with','on']"
+SQL_Q19 = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_c
+  FROM documents),
+r AS (
+  SELECT doc_id, n_ws_tokens, n_bpe_tokens, len(words) AS n_words,
+         punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(words, w -> list_contains({_STOP_EN}, w))) * 1.0
+           / greatest(len(words), 1) AS stop_ratio,
+         n_chars * 1.0 / greatest(len(words), 1) AS avg_word_len,
+         upper_c * 1.0 / greatest(n_chars, 1) AS upper_ratio,
+         least(1.0, len(words) / 20.0) AS length_score
+  FROM t)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_words,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(avg_word_len, 6) AS avg_word_len,
+       round(length_score * 0.3 + least(1.0, stop_ratio * 5.0) * 0.3
+             + (1 - least(1.0, punct_ratio * 5.0)) * 0.2
+             + (1 - least(1.0, upper_ratio * 5.0)) * 0.2, 6) AS quality
+FROM r
+"""
+
+
+def q20_langid(spark, sf_dir):
+    """Stopword-voting language ID vs the table's lang column."""
+    docs = _load(spark, sf_dir, "documents")
+    out = TXT.detect_language(docs)
+    return out.select("doc_id", "lang", "lang_pred",
+                      (F.col("lang") == F.col("lang_pred")).cast("int").alias("agree"))
+
+
+def _votes_sql(lang: str) -> str:
+    words = TXT.STOPWORDS[lang]
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(words, w -> list_contains({arr}, w)))"
+
+
+SQL_Q20 = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents),
+v AS (
+  SELECT doc_id, lang,
+         {_votes_sql('de')} AS v_de, {_votes_sql('en')} AS v_en,
+         {_votes_sql('es')} AS v_es, {_votes_sql('fr')} AS v_fr
+  FROM t)
+SELECT doc_id, lang,
+       CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+            WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+            WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+            WHEN v_es >= v_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       CASE WHEN lang = (CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+            WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+            WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+            WHEN v_es >= v_fr THEN 'es'
+            ELSE 'fr' END) THEN 1 ELSE 0 END AS agree
+FROM v
+"""
+
+
+def q21_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + polynomial rolling
+    hash of the word sequence."""
+    docs = _load(spark, sf_dir, "documents")
+    return (TXT.fingerprint(docs)
+            .select("doc_id", "md5_fingerprint", "rolling_fingerprint"))
+
+
+SQL_Q21 = f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS md5_fingerprint,
+       -- list_reduce seeds with the first element; identical to the Spark
+       -- fold from 0 because (0*31 + h0) % p == h0
+       list_reduce(
+         list_transform(string_split(norm, ' '),
+                        w -> {_hex2int_sql("md5(w)[1:8]")}),
+         (acc, h) -> (acc * 31::BIGINT + h) % {(1 << 55) - 55}::BIGINT
+       ) AS rolling_fingerprint
+FROM t
+"""
+
+
+def q22_multimodal_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: byte length + sha256 of the binary
+    content (documents adapted as opaque assets)."""
+    docs = _load(spark, sf_dir, "documents")
+    assets = MM.documents_as_assets(docs)
+    return assets.select(
+        "asset_id", "modality",
+        F.octet_length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha"))
+
+
+SQL_Q22 = """
+SELECT doc_id::VARCHAR AS asset_id, 'image' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+def q23_multimodal_decode(spark, sf_dir):
+    """Arrow-batched media-decode plumbing (mapInPandas). NO ORACLE — the
+    decode is a deterministic Python stub (no media libs in the sandbox);
+    rows-only check; stub determinism is covered by tests/test_ops.py."""
+    docs = _load(spark, sf_dir, "documents")
+    return MM.decode_assets(MM.documents_as_assets(docs))
+
+
+def q24_decayed_mean(spark, sf_dir):
+    """Bounded exponential-decay trailing mean (EMA-style stat) via JVM
+    higher-order array functions over a 20-row window."""
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("seq", F.col("event_id"))
+    out = WIN.decayed_mean(ev, "value", ["event_type"], "seq", 20, decay=0.9)
+    return out.select("event_id", "event_type",
+                      F.round("value_ema20", 6).alias("ema20"))
+
+
+SQL_Q24 = """
+WITH t AS (
+  SELECT event_id, event_type,
+         list(value) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events)
+SELECT event_id, event_type,
+       round(
+         list_sum(list_transform(range(1, len(vals) + 1),
+                  i -> vals[i] * 0.9 ** (len(vals) - i)))
+         / list_sum(list_transform(range(1, len(vals) + 1),
+                  i -> 0.9 ** (len(vals) - i))), 6) AS ema20
+FROM t
+"""
+
+
+def q25_minmax_norm(spark, sf_dir):
+    """MinMaxScaler to [-1, 1] (DataNormalizer.cs:185-189) over lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    stats = li.agg(F.min("l_extendedprice").alias("mn"),
+                   F.max("l_extendedprice").alias("mx"))
+    return (li.crossJoin(F.broadcast(stats))
+            .select("l_orderkey", "l_linenumber",
+                    F.round(2 * (F.col("l_extendedprice") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")) - 1, 6).alias("mm_price")))
+
+
+SQL_Q25 = """
+WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(2 * (l_extendedprice - s.mn) / (s.mx - s.mn) - 1, 6) AS mm_price
+FROM lineitem, s
+"""
+
+
+def q26_embedding_stats(spark, sf_dir):
+    """Array-column stats: L2 norm / mean / dim of each embedding (JVM
+    higher-order functions; the similarity-search building block)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ssq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    sm = F.aggregate(v, F.lit(0.0), lambda a, b: a + b)
+    return emb.select(
+        "vec_id", F.size("embedding").alias("dim"),
+        F.round(F.sqrt(ssq), 6).alias("l2_norm"),
+        F.round(sm / F.size("embedding"), 6).alias("mean_val"))
+
+
+SQL_Q26 = """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+
+def q27_join_agg(spark, sf_dir):
+    """Broadcast equi-join + aggregation: revenue per nation (customer x
+    orders x nation, small dims broadcast)."""
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    return (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+SQL_Q27 = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_tumbling_ohlc": q01_tumbling_ohlc,
+        "q02_data_quality": q02_data_quality,
+        "q03_lag_lead": q03_lag_lead,
+        "q04_rolling": q04_rolling,
+        "q05_sessionize": q05_sessionize,
+        "q06_backfill": q06_backfill,
+        "q07_asof_join": q07_asof_join,
+        "q08_warmup_filter": q08_warmup_filter,
+        "q09_topk": q09_topk,
+        "q10_broadcast_norm": q10_broadcast_norm,
+        "q11_forward_window": q11_forward_window,
+        "q12_tpch_q1": q12_tpch_q1,
+        "q13_feature_stats": q13_feature_stats,
+        "q14_dedup_exact": q14_dedup_exact,
+        "q15_ngram_jaccard": q15_ngram_jaccard,
+        "q16_minhash": q16_minhash,
+        "q17_simhash": q17_simhash,
+        "q18_ann_cosine": q18_ann_cosine,
+        "q19_text_quality": q19_text_quality,
+        "q20_langid": q20_langid,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_multimodal_meta": q22_multimodal_meta,
+        "q23_multimodal_decode": q23_multimodal_decode,
+        "q24_decayed_mean": q24_decayed_mean,
+        "q25_minmax_norm": q25_minmax_norm,
+        "q26_embedding_stats": q26_embedding_stats,
+        "q27_join_agg": q27_join_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_tumbling_ohlc": SQL_Q01,
+        "q02_data_quality": SQL_Q02,
+        "q03_lag_lead": SQL_Q03,
+        "q04_rolling": SQL_Q04,
+        "q05_sessionize": SQL_Q05,
+        "q06_backfill": SQL_Q06,
+        "q07_asof_join": SQL_Q07,
+        "q08_warmup_filter": SQL_Q08,
+        "q09_topk": SQL_Q09,
+        "q10_broadcast_norm": SQL_Q10,
+        "q11_forward_window": SQL_Q11,
+        "q12_tpch_q1": SQL_Q12,
+        "q13_feature_stats": SQL_Q13,
+        "q14_dedup_exact": SQL_Q14,
+        "q15_ngram_jaccard": SQL_Q15,
+        "q16_minhash": _sql_q16(),
+        # q17_simhash: no oracle (Spark-internal xxhash64) -> rows-only
+        "q18_ann_cosine": SQL_Q18,
+        "q19_text_quality": SQL_Q19,
+        "q20_langid": SQL_Q20,
+        "q21_fingerprint": SQL_Q21,
+        "q22_multimodal_meta": SQL_Q22,
+        # q23_multimodal_decode: no oracle (Python decode stub) -> rows-only
+        "q24_decayed_mean": SQL_Q24,
+        "q25_minmax_norm": SQL_Q25,
+        "q26_embedding_stats": SQL_Q26,
+        "q27_join_agg": SQL_Q27,
+    }

@@ -18,7 +18,9 @@ def sessionize(df: DataFrame, ts_col: str, gap_seconds: float,
     session_id = running count of gap-breaks per partition (0-based)."""
     w = Window.partitionBy(*partition_cols).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    # cast: parquet TIMESTAMP_NTZ and session-tz TIMESTAMP both accepted
+    gap_us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+              - F.unix_micros(prev.cast("timestamp")))
     is_new = F.when(prev.isNull() | (gap_us > int(gap_seconds * 1_000_000)), 1).otherwise(0)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, (F.sum(is_new).over(wcum) - F.lit(1)).cast("long"))
@@ -119,7 +121,7 @@ def asof_join_backward(left: DataFrame, right: DataFrame, by: list[str],
     lt = lt.select(*lcols, "__ts", "__side",
                    *[F.lit(None).cast(rt.schema[f"__r_{c}"].dataType).alias(f"__r_{c}")
                      for c in value_cols])
-    unioned = lt.unionByName(rt)
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at equal ts (<=); after left rows when strict
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
     w = (Window.partitionBy(*by).orderBy(F.col("__ts").asc(), side_order)

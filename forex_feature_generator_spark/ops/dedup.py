@@ -1,0 +1,187 @@
+"""Deduplication operators over a documents table (doc_id, text, ...).
+
+  * exact_dedup       — hash-groupBy on a normalized key (one shuffle)
+  * ngram_jaccard_pairs — exact n-gram Jaccard via shingle self-join
+  * minhash_lsh_pairs — MinHash signatures + LSH banding -> candidate pairs
+                        -> exact-Jaccard verification (the 100 TB scale path:
+                        band-bucket join replaces the quadratic self-join)
+  * simhash_pairs     — 64-bit SimHash + 16-bit-band blocking + Hamming check
+
+All hashing uses md5 prefixes (standardized across engines -> DuckDB-oracle
+checkable) or xxhash64 (Spark-internal paths). No Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) with a, b < 2^30 so a*h + b stays < 2^63 for
+    32-bit shingle hashes (exact int64 arithmetic in Spark AND DuckDB)."""
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
+            for _ in range(num_hashes)]
+
+
+def normalize_text(col):
+    """lower + collapse non-alphanumerics to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keeps the minimum id per normalized-text group. Single hash shuffle on
+    the md5 of the normalized text (not the full text — shuffle bytes stay
+    bounded at 100 TB)."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (docs.select(key, F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("kept_id"),
+                 F.count(F.lit(1)).alias("n_dupes")))
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    sh = F.transform(F.sequence(F.lit(1), k),
+                     lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact Jaccard >= threshold pairs (a < b) via shingle equi-self-join.
+    Correctness baseline; quadratic in duplicate-cluster size — use
+    minhash_lsh_pairs at scale."""
+    sh = shingles(docs, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def _shingle_int_hash(shingle_col):
+    """Deterministic 32-bit integer from the md5 prefix of a shingle —
+    identical in Spark and DuckDB (oracle-checkable)."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    (a_i * h(s) + b_i) mod p, with fixed deterministic (a_i, b_i)."""
+    params = minhash_params(num_hashes, seed)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    hs = F.transform(sh, lambda s: _shingle_int_hash(s))
+    sig = F.array(*[
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
+        for a, b in params])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows of num_hashes/bands,
+    bucket-join on (band_idx, band_hash), then verify candidates with the
+    estimated Jaccard (fraction of matching minhashes)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, text_col, id_col, n).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.struct(
+                bi.alias("band"),
+                F.md5(F.concat_ws(",", F.transform(
+                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string")))).alias("bhash")))).alias("bb")
+    ).select("id", "bb.band", "bb.bhash")
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bhash") == F.col("y.bhash"))
+                & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("est_jaccard",
+                       F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                                  lambda a, b: a == b),
+                                       lambda m: m))
+                       / F.lit(float(num_hashes)))
+           .filter(F.col("est_jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
+    return est
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over distinct word unigrams
+    (xxhash64 token hashes, majority vote per bit).
+
+    Scale shape: explode tokens -> ONE groupBy(id) with 64 conditional sums
+    (single shuffle, map-side partial aggregation), then fold the votes into
+    the 64-bit signature."""
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    tok = (docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+           .withColumn("h", F.xxhash64("w")))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"b{i}")
+             for i in range(64)]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
+    16-bit bands (a pair within distance 3 shares at least one band)."""
+    sigs = simhash(docs, text_col, id_col).persist()
+    banded = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+            for i in range(4)])).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.bh")
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("x.simhash").alias("h_a"),
+                    F.col("y.id").alias("id_b"), F.col("y.simhash").alias("h_b"))
+            .distinct())
+    return (cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

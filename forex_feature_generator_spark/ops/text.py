@@ -1,0 +1,89 @@
+"""Text analysis over a documents table — language ID (stopword-voting
+heuristic), quality scoring, token counting, fingerprinting. All built-in
+string/array expressions (oracle-checkable, no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "est", "pour", "avec", "dans", "un"],
+    "es": ["el", "la", "los", "de", "que", "es", "para", "con", "en", "un"],
+}
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+ROLL_P = (1 << 55) - 55
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token estimate (letters / digits /
+    punctuation runs split apart, like a byte-pair pre-tokenizer)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+    return (docs.withColumn("n_ws_tokens", ws)
+            .withColumn("n_bpe_tokens", bpe))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios -> [0,1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(normalize_text(t), " ")
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    upper_ratio = upper / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    avg_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    length_score = F.least(F.lit(1.0), n_words / F.lit(20.0))
+    score = (length_score * 0.3
+             + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * 0.3
+             + (1 - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))) * 0.2
+             + (1 - F.least(F.lit(1.0), upper_ratio * F.lit(5.0))) * 0.2)
+    return (docs
+            .withColumn("n_words", n_words)
+            .withColumn("punct_ratio", F.round(punct_ratio, 6))
+            .withColumn("stop_ratio", F.round(stop_ratio, 6))
+            .withColumn("avg_word_len", F.round(avg_word_len, 6))
+            .withColumn("quality", F.round(score, 6)))
+
+
+def detect_language(docs: DataFrame, text_col: str = "text",
+                    out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language ID; ties resolve to the alphabetically first
+    language (de > en > es > fr priority chain); no votes -> 'und'."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    def votes(lang):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    v = {lang: votes(lang) for lang in ("de", "en", "es", "fr")}
+    pred = (F.when(F.greatest(v["de"], v["en"], v["es"], v["fr"]) == 0, F.lit("und"))
+            .when((v["de"] >= v["en"]) & (v["de"] >= v["es"]) & (v["de"] >= v["fr"]), F.lit("de"))
+            .when((v["en"] >= v["es"]) & (v["en"] >= v["fr"]), F.lit("en"))
+            .when(v["es"] >= v["fr"], F.lit("es"))
+            .otherwise(F.lit("fr")))
+    return docs.withColumn(out_col, pred)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of the normalized text + a polynomial
+    rolling hash of the word sequence (mod ROLL_P < 2^55 so acc*31 + h stays
+    inside exact int64 arithmetic) as array expressions."""
+    p = ROLL_P
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    word_h = F.transform(words, lambda w:
+                         F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    rolling = F.aggregate(word_h, F.lit(0).cast("long"),
+                          lambda acc, h: (acc * F.lit(31) + h) % F.lit(p))
+    return (docs.withColumn("md5_fingerprint", F.md5(normalize_text(F.col(text_col))))
+            .withColumn("rolling_fingerprint", rolling))
