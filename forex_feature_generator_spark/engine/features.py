@@ -57,12 +57,21 @@ def _shift(x: np.ndarray, k: int) -> np.ndarray:
 
 
 def compute_features_pdf(m1: pd.DataFrame, m5: pd.DataFrame,
-                         warmup_bars: int = WARMUP_BARS) -> pd.DataFrame:
+                         warmup_bars: int = WARMUP_BARS,
+                         bar_index_offset: int = 0,
+                         m5_index_offset: int = 0) -> pd.DataFrame:
     """m1/m5: per-source completed-bar frames from engine/bars.py.
-    Returns emitted rows: (source, ts_us, timestamp, completion_seq, entry_*,
-    <148 features>)."""
-    empty_cols = (["source", "ts_us", "timestamp", "completion_seq"] + FEATURE_NAMES)
-    if len(m1) <= warmup_bars or len(m5) == 0:
+    Returns emitted rows: (source, ts_us, timestamp, completion_seq,
+    bar_index, <148 features>).
+
+    The offsets support halo-chunked execution (engine/skew.py): the local
+    frames are a contiguous global slice; every absolute gate (warm-up,
+    emission-state run counts, anchored indices) uses the GLOBAL bar index.
+    Halo rows near the local start may compute garbage (negative local
+    anchors) — callers must drop rows below their emit boundary."""
+    empty_cols = (["source", "ts_us", "timestamp", "completion_seq",
+                   "bar_index"] + FEATURE_NAMES)
+    if bar_index_offset + len(m1) <= warmup_bars or len(m5) == 0:
         return pd.DataFrame({c: pd.Series(dtype="float64") for c in empty_cols})
 
     m1 = m1.sort_values("bar_ts_us").reset_index(drop=True)
@@ -81,15 +90,15 @@ def compute_features_pdf(m1: pd.DataFrame, m5: pd.DataFrame,
         m5["down"].to_numpy("int64"), m5["avg_spread"].to_numpy("float64"),
         m5["bar_ts_us"].to_numpy("int64"))
 
-    # --- sorted-merge as-of: visible M5 count per M1 emission ---
+    # --- sorted-merge as-of: visible M5 count per M1 emission (GLOBAL) ---
     m1_comp = m1["completion_seq"].to_numpy("int64")
     m5_comp = m5["completion_seq"].to_numpy("int64")
-    m5c = np.searchsorted(m5_comp, m1_comp, side="right")
+    m5c = m5_index_offset + np.searchsorted(m5_comp, m1_comp, side="right")
 
-    t = np.arange(n1)
-    a1 = np.maximum(0, t - (WINDOW - 1))
+    t = bar_index_offset + np.arange(n1)          # global bar index
+    a1 = np.maximum(0, t - (WINDOW - 1)) - bar_index_offset   # local anchor
     ci5 = np.minimum(m5c - 1, WINDOW - 1)
-    a5 = np.maximum(0, m5c - WINDOW)
+    a5 = np.maximum(0, m5c - WINDOW) - m5_index_offset        # local anchor
 
     emitted = t >= warmup_bars
     if not emitted.any():
@@ -245,4 +254,5 @@ def compute_features_pdf(m1: pd.DataFrame, m5: pd.DataFrame,
     out.insert(1, "ts_us", m1["bar_ts_us"].to_numpy("int64")[sel])
     out.insert(2, "timestamp", DOTNET_EPOCH_TICKS + m1["bar_ts_us"].to_numpy("int64")[sel] * 10)
     out.insert(3, "completion_seq", m1["completion_seq"].to_numpy("int64")[sel])
+    out.insert(4, "bar_index", t[sel])
     return out

@@ -29,8 +29,7 @@ LABELS_SCHEMA = "source string, ts_us long, label int"
 def _features_fn(warmup_bars: int):
     def fn(key, m1_pdf, m5_pdf):
         out = compute_features_pdf(m1_pdf, m5_pdf, warmup_bars=warmup_bars)
-        if out.empty:
-            out["source"] = out.get("source", [])
+        out = out.drop(columns=["bar_index"])
         out["source"] = key[0]
         return out
     return fn

@@ -1,0 +1,29 @@
+"""Salted halo-chunked execution must be indistinguishable from the plain
+per-source run (north-rule property: partitioning/salting invariance)."""
+
+import numpy as np
+
+from forex_feature_generator_spark import synth
+from forex_feature_generator_spark.engine import pipeline as epipe
+from forex_feature_generator_spark.engine import skew as eskew
+from forex_feature_generator_spark.oracle import pipeline as opipe
+
+
+def test_salted_equals_unsalted(spark):
+    # ~1500 bars/source so chunk halos genuinely truncate the prefix
+    ticks = synth.gen_ticks(n_sources=2, ticks_per_source=15000, hot_sources=1,
+                            hot_factor=2, seed=17, mean_gap_s=6.0)
+    sdf = spark.createDataFrame(ticks)
+    plain = (epipe.run_pipeline(spark, sdf)
+             .orderBy("source", "ts_us").toPandas())
+    salted = (eskew.run_pipeline_salted(spark, sdf, chunk_bars=300)
+              .orderBy("source", "ts_us").toPandas())
+    assert len(plain) == len(salted) and len(plain) > 1000
+    assert (plain["ts_us"].to_numpy() == salted["ts_us"].to_numpy()).all()
+    assert (plain["label"].to_numpy() == salted["label"].to_numpy()).all()
+    assert (plain["timestamp"].to_numpy() == salted["timestamp"].to_numpy()).all()
+    for c in opipe.FEATURE_NAMES:
+        a = plain[c].to_numpy()
+        b = salted[c].to_numpy()
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), (
+            c, float(np.abs(a - b).max()))
