@@ -1,0 +1,166 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship feature
+pipeline on a deterministic synthetic tick corpus at TWO parallelism levels
+(local[N/4] vs local[N]) — the sandbox stand-in for the north rule's N vs 4N
+executor scaling criterion (BASELINE.md). Prints ONE JSON line:
+
+  {"metric": "...", "value": <total suite sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "feature_rows_per_sec_low": ..., "feature_rows_per_sec_high": ...,
+   "scaling_efficiency": ...}
+
+Usage: python bench.py [--skip-scaling] [--corpus SOURCESxTICKS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "corpus")
+
+HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",
+            "q07_asof_join", "q10_broadcast_norm", "q12_tpch_q1",
+            "q15_ngram_jaccard", "q16_minhash", "q18_ann_cosine",
+            "q19_text_quality", "q24_decayed_mean"]
+
+
+def _session(cores: int, app: str):
+    from forex_feature_generator_spark.engine.session import get_spark
+    # memory sized so 32 concurrent sort/window tasks never spill
+    # (anti-scaling at local[32] with the 8g default was disk spill)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    return get_spark(app, master=f"local[{cores}]",
+                     shuffle_partitions=max(cores, 8))
+
+
+def _ensure_corpus(spec: str) -> str:
+    """Deterministic bench corpus (seed=42): SOURCES x TICKS/source ticks,
+    2 hot sources at 10x density. Written once (one parquet file per source,
+    so scans parallelize), reused across rounds."""
+    path = os.path.join(CORPUS_DIR, spec)
+    done = os.path.join(path, "_DONE")
+    if os.path.isfile(done):
+        return path
+    from forex_feature_generator_spark import synth
+    n_sources, n_ticks = (int(x) for x in spec.split("x"))
+    pdf = synth.gen_ticks(n_sources=n_sources, ticks_per_source=n_ticks,
+                          hot_sources=2, hot_factor=10, seed=42)
+    tick_dir = os.path.join(path, "ticks.parquet")
+    os.makedirs(tick_dir, exist_ok=True)
+    for i, (src, g) in enumerate(pdf.groupby("source", sort=True)):
+        g.to_parquet(os.path.join(tick_dir, f"part-{i:04d}.parquet"), index=False)
+    with open(done, "w") as f:
+        f.write(spec)
+    return path
+
+
+def bench_features(cores: int, corpus: str, warm: bool = True) -> tuple[float, int]:
+    """Feature+label pipeline wall time at a given parallelism. Returns
+    (seconds, rows). A warm-up run over a small source subset first: the
+    150-column plans cost ~tens of seconds of one-time JIT/janino compilation
+    per JVM, which would otherwise swamp the scaling measurement."""
+    from pyspark.sql import functions as F
+    from forex_feature_generator_spark.engine import skew as eskew
+    spark = _session(cores, f"ffg-bench-{cores}")
+    try:
+        ticks = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
+        if warm:
+            warm_sources = [r[0] for r in
+                            ticks.select("source").distinct().limit(4).collect()]
+            eskew.run_pipeline_salted(
+                spark, ticks.filter(F.col("source").isin(warm_sources)),
+                chunk_bars=4000).count()
+        t0 = time.time()
+        out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=4000)
+        rows = out.count()
+        dt = time.time() - t0
+        return dt, rows
+    finally:
+        spark.stop()
+
+
+def bench_features_subprocess(cores: int, corpus: str) -> tuple[float, int]:
+    """Fresh JVM per measurement so both parallelism levels see identical
+    JIT conditions (fairness of the N vs 4N comparison)."""
+    import subprocess
+    code = (f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+            f"import bench, json; "
+            f"dt, rows = bench.bench_features({cores}, {corpus!r}); "
+            f"print('RESULT ' + json.dumps([dt, rows]))")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            dt, rows = json.loads(line[7:])
+            return dt, rows
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as em
+    qs = em.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--corpus", default="64x20000")
+    args = ap.parse_args()
+
+    result: dict = {"metric": "headline suite wall time (sf ~0.1) + feature rows/sec scaling",
+                    "unit": "sec", "sf": SF_DIR}
+
+    scaling = {}
+    if not args.skip_scaling:
+        corpus = _ensure_corpus(args.corpus)
+        low_cores = max(1, CPUS // 4)
+        dt_low, rows = bench_features_subprocess(low_cores, corpus)
+        dt_high, rows2 = bench_features_subprocess(CPUS, corpus)
+        assert rows == rows2, (rows, rows2)
+        r_low = rows / dt_low
+        r_high = rows / dt_high
+        scaling = {
+            "feature_rows": rows,
+            "feature_sec_low": round(dt_low, 2),
+            "feature_sec_high": round(dt_high, 2),
+            "feature_rows_per_sec_low": round(r_low, 1),
+            "feature_rows_per_sec_high": round(r_high, 1),
+            "parallelism_low": low_cores,
+            "parallelism_high": CPUS,
+            "scaling_efficiency": round((r_high / r_low) / (CPUS / low_cores), 3),
+        }
+
+    spark = _session(CPUS, "ffg-bench-queries")
+    try:
+        t0 = time.time()
+        queries = bench_queries(spark)
+        suite_sec = time.time() - t0
+    finally:
+        spark.stop()
+
+    result["value"] = round(suite_sec, 2)
+    result["queries"] = queries
+    result.update(scaling)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,8 @@ def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
      avg_spread, max_spread, min_spread, first_seq, completion_seq,
      completion_ts_us, bar_index)."""
     tf_us = tf_minutes * US_PER_MIN
-    us = F.unix_micros(F.col("ts"))
+    # cast: accepts both session-tz TIMESTAMP and parquet TIMESTAMP_NTZ
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     bar_ts = (us - (us % F.lit(tf_us))).alias("bar_ts_us")
 
     spread = F.col("ask") - F.col("bid")
@@ -69,7 +70,7 @@ def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
             F.max(spread).alias("max_spread"),
             F.min(spread).alias("min_spread"),
             F.min("seq").alias("first_seq"),
-            F.min(F.unix_micros(F.col("ts"))).alias("first_ts_us"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
         )
     )
     w = Window.partitionBy("source").orderBy("bar_ts_us")

@@ -101,7 +101,10 @@ def _quality(profit, mae, activated, exit_tick):
 
 def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
                    cfg: LabelConfig | None = None,
-                   chunk: int = 8192) -> np.ndarray:
+                   chunk: int = 1024) -> np.ndarray:
+    # chunk=1024 keeps the (chunk, 600) working set ~50 MB per task: with 32
+    # concurrent Arrow workers a large chunk saturates memory bandwidth and
+    # the stage anti-scales (measured 8.5s -> 2.7s at local[32]).
     """entry_seq: per-emission entry-tick positions into bid/ask (per source).
     Returns int32 labels."""
     cfg = cfg or LabelConfig()

@@ -78,7 +78,9 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
         .applyInPandas(_labels_fn(cfg), schema=LABELS_SCHEMA)
     )
 
-    result = (features.join(labels, ["source", "ts_us"], "inner")
+    # labels are 3 narrow columns — broadcast them so the 150-column feature
+    # side is never shuffled for the join
+    result = (features.join(F.broadcast(labels), ["source", "ts_us"], "inner")
               .select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp"))
     return result
 

@@ -15,6 +15,13 @@ def get_spark(app_name: str = "forex_feature_generator_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
+    # Python workers inherit the driver env in local mode: pin the numeric
+    # libraries (and Arrow's OMP-derived pool) to one thread per worker —
+    # N workers x M BLAS/Arrow threads oversubscribes and anti-scales.
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+              "NUMEXPR_NUM_THREADS", "ARROW_IO_THREADS"):
+        os.environ.setdefault(v, "1")
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -173,5 +173,5 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
               .cogroup(ticks_r.groupBy("source", "chunk"))
               .applyInPandas(_labels_chunk_fn(cfg), schema=LABELS_SCHEMA))
 
-    return (features.join(labels, ["source", "ts_us"], "inner")
+    return (features.join(F.broadcast(labels), ["source", "ts_us"], "inner")
             .select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp"))

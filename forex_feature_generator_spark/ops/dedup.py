@@ -89,17 +89,20 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
                        n: int = 3, seed: int = 42) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
-    (a_i * h(s) + b_i) mod p, with fixed deterministic (a_i, b_i)."""
+    (a_i * h(s) + b_i) mod p, with fixed deterministic (a_i, b_i).
+
+    Scale shape: the shingle hash is computed ONCE per (doc, shingle) on the
+    exploded stream, then ONE groupBy(id) takes all num_hashes minima
+    (map-side partial agg, single shuffle). A single nested-lambda expression
+    would recompute md5 per hash function and blow up codegen."""
     params = minhash_params(num_hashes, seed)
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(words, i, n))))
-    hs = F.transform(sh, lambda s: _shingle_int_hash(s))
-    sig = F.array(*[
-        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)))
-        for a, b in params])
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sh = shingles(docs, text_col, id_col, n)
+    hashed = sh.withColumn("h", _shingle_int_hash(F.col("shingle"))).drop("shingle")
+    mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"m{i}")
+                                      for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,

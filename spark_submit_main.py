@@ -1,0 +1,100 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files`).
+
+Examples:
+  spark-submit --master local[32] --py-files ffg.zip spark_submit_main.py \
+      --synth-ticks 64x50000 --output /tmp/features --salted
+  spark-submit ... spark_submit_main.py --input ticks.parquet \
+      --output /data/features_table --resume --batch-sources 8
+
+Package the repo for --py-files with:
+  (cd /root/repo && zip -qr ffg.zip forex_feature_generator_spark)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="ticks parquet/csv (source, ts, bid, ask)")
+    ap.add_argument("--input-format", default="parquet", choices=["parquet", "csv"])
+    ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="features", choices=["features", "tokens"])
+    ap.add_argument("--salted", action="store_true", help="halo-chunked hot-source path")
+    ap.add_argument("--chunk-bars", type=int, default=4000)
+    ap.add_argument("--resume", action="store_true",
+                    help="snapshot-manifest checkpoint/resume (per-partition lineage)")
+    ap.add_argument("--batch-sources", type=int, default=8)
+    ap.add_argument("--normalize", action="store_true",
+                    help="also write the normalized table + stats csv")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from forex_feature_generator_spark.engine import (normalize as enorm,
+                                                      pipeline as epipe,
+                                                      skew as eskew,
+                                                      snapshots as esnap,
+                                                      tokens as etok)
+
+    spark = SparkSession.builder.appName("forex_feature_generator_spark").getOrCreate()
+    t0 = time.time()
+
+    if args.synth_ticks:
+        from forex_feature_generator_spark import synth
+        n_sources, n_ticks = (int(x) for x in args.synth_ticks.split("x"))
+        pdf = synth.gen_ticks(n_sources=n_sources, ticks_per_source=n_ticks)
+        ticks = spark.createDataFrame(pdf)
+    elif args.input:
+        if args.input_format == "csv":
+            # reference CSV shape Timestamp,Bid,Ask (TickLoader.cs:92-115);
+            # malformed rows dropped, comment lines skipped
+            raw = (spark.read.option("header", True).option("mode", "DROPMALFORMED")
+                   .schema("ts timestamp, bid double, ask double")
+                   .csv(args.input))
+            from pyspark.sql import functions as F
+            ticks = (raw.filter(~F.col("ts").cast("string").startswith("#"))
+                     .withColumn("source", F.lit("default")))
+        else:
+            ticks = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synth-ticks is required")
+
+    if args.mode == "tokens":
+        out = etok.full_features(ticks)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    elif args.resume:
+        stats = esnap.run_resumable(spark, ticks, args.output,
+                                    batch_sources=args.batch_sources)
+        print(json.dumps({"resume": stats}, default=str))
+        n = spark.read.parquet(args.output).count()
+    else:
+        if args.salted:
+            out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=args.chunk_bars)
+        else:
+            out = epipe.run_pipeline(spark, ticks)
+        out.write.mode("overwrite").partitionBy("source").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        if args.normalize:
+            feats = spark.read.parquet(args.output)
+            st = enorm.compute_stats(feats)
+            st.to_csv(args.output.rstrip("/") + "_statistics.csv", index=False)
+            enorm.normalize(feats, st).write.mode("overwrite").parquet(
+                args.output.rstrip("/") + "_normalized")
+
+    dt = time.time() - t0
+    print(json.dumps({"rows": n, "wall_sec": round(dt, 2),
+                      "rows_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

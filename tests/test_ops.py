@@ -1,0 +1,113 @@
+"""Unit tests for the data-pipeline operators against Python references."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from forex_feature_generator_spark.ops import dedup as D
+from forex_feature_generator_spark.ops import multimodal as MM
+from forex_feature_generator_spark.ops import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    base = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=30))
+        base.append(words)
+        rows.append((i, " ".join(words)))
+    # near-duplicates: copy docs 0-9 with 2 word substitutions
+    for i in range(10):
+        words = list(base[i])
+        words[3] = "xsub"
+        words[17] = "ysub"
+        rows.append((100 + i, " ".join(words)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _py_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    # planted near-dups must be found with the exact reference value
+    for i in range(10):
+        ref = _py_jaccard(pdf[i], pdf[100 + i])
+        if ref >= 0.3:
+            assert (i, 100 + i) in got
+            assert abs(got[(i, 100 + i)] - round(ref, 6)) < 1e-9
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                 threshold=0.4).collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    # banding with 16 bands of 4 rows has >99% hit probability at J~0.8
+    assert len(planted & pairs) >= 8
+    # est_jaccard should approximate the true jaccard
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in
+           D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                               threshold=0.4).collect()}
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    for (a, b), e in est.items():
+        if (a, b) in planted:
+            assert abs(e - _py_jaccard(pdf[a], pdf[b])) < 0.35
+
+
+def test_simhash_near_dups_close(spark, docs):
+    sigs = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    planted = [ham(sigs[i], sigs[100 + i]) for i in range(10)]
+    rng = np.random.default_rng(0)
+    random_pairs = [ham(sigs[int(a)], sigs[int(b)])
+                    for a, b in rng.integers(0, 40, size=(30, 2)) if a != b]
+    assert np.mean(planted) < np.mean(random_pairs) - 5
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = SIM.lsh_topk(emb, queries, k=5, n_planes=16, n_bands=8).toPandas()
+    recall = 0.0
+    for q in range(5):
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.5   # 8 bands of 2 bits: generous candidate sets
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    assets = MM.documents_as_assets(docs)
+    out1 = MM.decode_assets(assets).orderBy("asset_id").toPandas()
+    out2 = MM.decode_assets(assets).orderBy("asset_id").toPandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    # sha1 matches a local reference for one row
+    row = out1.iloc[0]
+    src = docs.filter(F.col("doc_id").cast("string") == row["asset_id"]).first()
+    assert row["sha1"] == hashlib.sha1(src["text"].encode()).hexdigest()
+    assert row["n_bytes"] == len(src["text"].encode())
+    assert 64 <= row["width"] <= 255
+
+
+def test_multimodal_strict_raises(spark, docs):
+    assets = MM.documents_as_assets(docs.limit(2))
+    with pytest.raises(Exception):
+        MM.decode_assets(assets, strict=True).collect()
