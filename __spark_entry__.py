@@ -447,7 +447,7 @@ def q16_minhash(spark, sf_dir):
 def _sql_q16() -> str:
     from forex_feature_generator_spark.ops.dedup import MERSENNE_P, minhash_params
     params = minhash_params(16)
-    h = _hex2int_sql("md5(s)[1:8]")
+    h = f"({_hex2int_sql('md5(s)[1:8]')} % {MERSENNE_P}::BIGINT)"
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> ({a}::BIGINT * {h} + {b}::BIGINT) % {MERSENNE_P}::BIGINT)) AS m{i}"
         for i, (a, b) in enumerate(params))

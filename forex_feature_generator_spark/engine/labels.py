@@ -89,7 +89,7 @@ def _simulate(entry: np.ndarray, price: np.ndarray, valid: np.ndarray,
         mae = np.where(upto & (move < 0), -move, 0.0).max(axis=1)
 
     profit = ((exit_price - entry) if is_long else (entry - exit_price)) / PIP
-    return profit, mae / PIP, activated, exit_tick
+    return profit, mae / PIP, activated, exit_tick, no_exit
 
 
 def _quality(profit, mae, activated, exit_tick):
@@ -121,14 +121,48 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
     trail_d = cfg.distance_pips * PIP
     tp_d = act_d * 3.0
 
+    short_w = 128   # two-phase: most trades exit early; the short pass cuts
+    #                 memory traffic ~Wn/short_w for the resolved majority
+
+    def simulate_side(cs, k, entry, Fwin, is_long, sl_d):
+        E = len(cs)
+        profit = np.zeros(E)
+        mae = np.zeros(E)
+        act = np.zeros(E, dtype=bool)
+        exit_tick = np.zeros(E, dtype="int64")
+
+        # phase 1: short window — final for rows that exit inside it (exits
+        # are first-hit and causal) and rows whose future is that short
+        ks = np.minimum(k, short_w)
+        price_s = Fwin[cs + 1][:, :short_w]
+        valid_s = np.arange(short_w)[None, :] < ks[:, None]
+        p1, m1_, a1, e1, noex1 = _simulate(entry, price_s, valid_s, ks, is_long,
+                                           act_d, trail_d, sl_d, tp_d)
+        resolved = (~noex1) | (k <= short_w)
+        profit[resolved] = p1[resolved]
+        mae[resolved] = m1_[resolved]
+        act[resolved] = a1[resolved]
+        exit_tick[resolved] = e1[resolved]
+
+        rest = ~resolved
+        if rest.any():
+            csr = cs[rest]
+            kr = k[rest]
+            price_f = Fwin[csr + 1]
+            valid_f = np.arange(Wn)[None, :] < kr[:, None]
+            p2, m2_, a2, e2, _ = _simulate(entry[rest], price_f, valid_f, kr,
+                                           is_long, act_d, trail_d, sl_d[rest], tp_d)
+            profit[rest] = p2
+            mae[rest] = m2_
+            act[rest] = a2
+            exit_tick[rest] = e2
+        return profit, mae, act, exit_tick
+
     for s in range(0, len(entry_seq), chunk):
         cs = entry_seq[s:s + chunk]
         k = np.minimum(Wn, n - 1 - cs).astype("int64")
         eb = bid[cs]
         ea = ask[cs]
-        fb = Fb[cs + 1]
-        fa = Fa[cs + 1]
-        valid = np.arange(Wn)[None, :] < k[:, None]
 
         spread_pips = (ea - eb) / PIP
         if cfg.stop_loss_pips > 0:
@@ -137,8 +171,8 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
             slp = np.maximum(5.0, np.maximum(cfg.distance_pips, spread_pips * 3.0))
         sl_d = np.maximum(0.0, slp) * PIP
 
-        lp, lmae, lact, lexit = _simulate(ea, fb, valid, k, True, act_d, trail_d, sl_d, tp_d)
-        sp, smae, sact, sexit = _simulate(eb, fa, valid, k, False, act_d, trail_d, sl_d, tp_d)
+        lp, lmae, lact, lexit = simulate_side(cs, k, ea, Fb, True, sl_d)
+        sp, smae, sact, sexit = simulate_side(cs, k, eb, Fa, False, sl_d)
         lq = _quality(lp, lmae, lact, lexit)
         sq = _quality(sp, smae, sact, sexit)
         conf = np.abs(lq - sq)

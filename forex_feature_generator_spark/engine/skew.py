@@ -48,18 +48,20 @@ def _chunk_bounds(m1: DataFrame, m5: DataFrame, chunk_bars: int) -> DataFrame:
               F.min("completion_seq").alias("comp_lo"),
               F.max("completion_seq").alias("comp_hi"),
               F.min("first_seq").alias("tick_lo")))
-    # as-of: number of m5 bars completed at or before a given completion_seq.
-    m5c = m5.select(F.col("source").alias("m5_source"),
-                    F.col("completion_seq").alias("m5_comp"),
+    # as-of: number of m5 bars completed at or before each chunk boundary.
+    # Sorted-merge as-of (union + forward-fill window) — a non-equi join here
+    # would be a nested-loop explosion (measured ~700 CPU-s at 15M ticks).
+    from .windows import asof_join_backward
+    m5b = m5.select("source", F.col("completion_seq").alias("m5_comp"),
                     F.col("bar_index").alias("m5_idx"))
-    start = (c.join(m5c, (F.col("source") == F.col("m5_source"))
-                    & (F.col("m5_comp") <= F.col("comp_lo")), "left")
-             .groupBy("source", "chunk")
-             .agg((F.coalesce(F.max("m5_idx") + 1, F.lit(0))).alias("m5c_start")))
-    end = (c.join(m5c, (F.col("source") == F.col("m5_source"))
-                  & (F.col("m5_comp") <= F.col("comp_hi")), "left")
-           .groupBy("source", "chunk")
-           .agg((F.coalesce(F.max("m5_idx") + 1, F.lit(0))).alias("m5c_end")))
+    start = (asof_join_backward(c.select("source", "chunk", "comp_lo"),
+                                m5b, ["source"], "comp_lo", "m5_comp", ["m5_idx"])
+             .select("source", "chunk",
+                     (F.coalesce(F.col("m5_idx") + 1, F.lit(0))).alias("m5c_start")))
+    end = (asof_join_backward(c.select("source", "chunk", "comp_hi"),
+                              m5b, ["source"], "comp_hi", "m5_comp", ["m5_idx"])
+           .select("source", "chunk",
+                   (F.coalesce(F.col("m5_idx") + 1, F.lit(0))).alias("m5c_end")))
     return (c.join(start, ["source", "chunk"]).join(end, ["source", "chunk"]))
 
 

@@ -15,15 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MERSENNE_P = (1 << 61) - 1
+# 2^31-1 (Mersenne prime). The affine family (a*h + b) mod p must WRAP many
+# times to approximate a random permutation — with a large p (e.g. 2^61-1)
+# and 32-bit h the map is monotone in h, every hash picks the same minimum
+# shingle, and signatures degenerate (bimodal 0/1 agreement). a*h < 2^62
+# stays exact in int64 for both Spark and the DuckDB oracle.
+MERSENNE_P = (1 << 31) - 1
 
 
 def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) with a, b < 2^30 so a*h + b stays < 2^63 for
-    32-bit shingle hashes (exact int64 arithmetic in Spark AND DuckDB)."""
     import random
     rnd = random.Random(seed)
-    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
+    return [(rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
             for _ in range(num_hashes)]
 
 
@@ -97,7 +100,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     would recompute md5 per hash function and blow up codegen."""
     params = minhash_params(num_hashes, seed)
     sh = shingles(docs, text_col, id_col, n)
-    hashed = sh.withColumn("h", _shingle_int_hash(F.col("shingle"))).drop("shingle")
+    hashed = (sh.withColumn("h", _shingle_int_hash(F.col("shingle")) % F.lit(MERSENNE_P))
+              .drop("shingle"))
     mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
             for i, (a, b) in enumerate(params)]
     agg = hashed.groupBy("id").agg(*mins)

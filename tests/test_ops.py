@@ -52,16 +52,17 @@ def test_ngram_jaccard_exact(spark, docs):
 
 
 def test_minhash_lsh_finds_planted_dups(spark, docs):
+    # planted pairs have true J ~= 0.5 (50-word vocab, 2 substitutions in 30
+    # words): 2-row bands give per-band hit ~0.25 -> P(hit) ~ 1-(0.75)^32 ~ 1
     pairs = {(r.id_a, r.id_b) for r in
-             D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
-                                 threshold=0.4).collect()}
+             D.minhash_lsh_pairs(docs, num_hashes=64, bands=32,
+                                 threshold=0.3).collect()}
     planted = {(i, 100 + i) for i in range(10)}
-    # banding with 16 bands of 4 rows has >99% hit probability at J~0.8
     assert len(planted & pairs) >= 8
     # est_jaccard should approximate the true jaccard
     est = {(r.id_a, r.id_b): r.est_jaccard for r in
-           D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
-                               threshold=0.4).collect()}
+           D.minhash_lsh_pairs(docs, num_hashes=64, bands=32,
+                               threshold=0.3).collect()}
     pdf = docs.toPandas().set_index("doc_id")["text"]
     for (a, b), e in est.items():
         if (a, b) in planted:
