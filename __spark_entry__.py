@@ -710,6 +710,26 @@ FROM embeddings
 """
 
 
+def q28_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family, vector modality).
+    Low threshold so the random synthetic vectors yield a non-trivial set."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, threshold=0.55)
+
+
+SQL_Q28 = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.ev, b.ev)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.ev, b.ev)
+      / (sqrt(list_dot_product(a.ev, a.ev))
+         * sqrt(list_dot_product(b.ev, b.ev))) >= 0.55
+"""
+
+
 def q27_join_agg(spark, sf_dir):
     """Broadcast equi-join + aggregation: revenue per nation (customer x
     orders x nation, small dims broadcast)."""
@@ -760,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_minmax_norm": q25_minmax_norm,
         "q26_embedding_stats": q26_embedding_stats,
         "q27_join_agg": q27_join_agg,
+        "q28_embedding_dedup": q28_embedding_dedup,
     }
 
 
@@ -792,4 +813,5 @@ def oracle_sql() -> dict[str, str]:
         "q25_minmax_norm": SQL_Q25,
         "q26_embedding_stats": SQL_Q26,
         "q27_join_agg": SQL_Q27,
+        "q28_embedding_dedup": SQL_Q28,
     }

@@ -65,11 +65,17 @@ def _ensure_corpus(spec: str) -> str:
     return path
 
 
-def bench_features(cores: int, corpus: str, warm: bool = True) -> tuple[float, int]:
+def bench_features(cores: int, corpus: str, warm: bool = True,
+                   trials: int = 1) -> tuple[float, int]:
     """Feature+label pipeline wall time at a given parallelism. Returns
-    (seconds, rows). A warm-up run over a small source subset first: the
-    150-column plans cost ~tens of seconds of one-time JIT/janino compilation
-    per JVM, which would otherwise swamp the scaling measurement."""
+    (min seconds over trials, rows).
+
+    * warm-up run over a small source subset: the 150-column plans cost
+      ~tens of seconds of one-time JIT/janino compilation per JVM
+    * min over trials: this sandbox host shows 2-3x run-to-run noise on
+      identical warmed runs (shared-tenancy CPU); the minimum is the
+      least-interference estimate (protocol documented in BENCH/BASELINE.md)
+    """
     from pyspark.sql import functions as F
     from forex_feature_generator_spark.engine import skew as eskew
     spark = _session(cores, f"ffg-bench-{cores}")
@@ -81,13 +87,32 @@ def bench_features(cores: int, corpus: str, warm: bool = True) -> tuple[float, i
             eskew.run_pipeline_salted(
                 spark, ticks.filter(F.col("source").isin(warm_sources)),
                 chunk_bars=4000).count()
-        t0 = time.time()
-        out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=4000)
-        rows = out.count()
-        dt = time.time() - t0
-        return dt, rows
+        best = float("inf")
+        rows = 0
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=4000)
+            rows = out.count()
+            best = min(best, time.time() - t0)
+        return best, rows
     finally:
         spark.stop()
+
+
+def bench_features_subprocess_trials(cores: int, corpus: str,
+                                     trials: int = 4) -> tuple[float, int]:
+    import subprocess
+    code = (f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+            f"import bench, json; "
+            f"dt, rows = bench.bench_features({cores}, {corpus!r}, trials={trials}); "
+            f"print('RESULT ' + json.dumps([dt, rows]))")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=5400)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            dt, rows = json.loads(line[7:])
+            return dt, rows
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
 def bench_features_subprocess(cores: int, corpus: str) -> tuple[float, int]:

@@ -47,6 +47,21 @@ def compute_stats(df: DataFrame, feature_cols: list[str] | None = None) -> pd.Da
                                       "min", "max", "q1", "median", "q3", "iqr"])
 
 
+STATS_COLUMNS = ["feature", "count", "mean", "stddev", "min", "max",
+                 "q1", "median", "q3", "iqr"]
+
+
+def save_stats(stats: pd.DataFrame, path: str) -> None:
+    """Stats CSV with the reference's header/order, sorted by feature name
+    (FeatureStatisticsCollector.SaveStatistics, cs:128-142)."""
+    stats.sort_values("feature")[STATS_COLUMNS].to_csv(path, index=False)
+
+
+def load_stats(path: str) -> pd.DataFrame:
+    """Round-trip loader (FeatureStatisticsCollector.LoadStatistics)."""
+    return pd.read_csv(path)[STATS_COLUMNS]
+
+
 def normalize(df: DataFrame, stats: pd.DataFrame,
               feature_cols: list[str] | None = None) -> DataFrame:
     """Applies the per-feature scaler (DataNormalizer.cs:156-194) as literal

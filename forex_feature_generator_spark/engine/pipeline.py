@@ -85,6 +85,30 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     return result
 
 
+# FeatureConfiguration equivalent (SURVEY §2.10): calculator enable/disable
+# maps to column selection — the vectorized kernel computes the full vector
+# (its intermediates are shared across calculators, so per-calculator skipping
+# saves little), and gating is a free projection that Catalyst prunes.
+CALCULATOR_PREFIXES = {
+    "Directional": "01_dir_",
+    "MarketRegimeContext": "02_",
+    "MicrostructureOrderFlow": "03_micro_",
+    "TechnicalIndicators": "04_tech_",
+    "Position": "05_pos_",
+    "DeepLearning": "06_dl_",
+    "MachineLearning": "07_ml_",
+}
+
+
+def select_calculators(df: DataFrame, enabled: list[str]) -> DataFrame:
+    """Keeps only the feature columns of the enabled calculators (plus all
+    non-feature columns) — FeaturePipeline.RegisterCalculator + IsFeatureEnabled."""
+    prefixes = tuple(CALCULATOR_PREFIXES[name] for name in enabled)
+    keep = [c for c in df.columns
+            if not c[:1].isdigit() or c.startswith(prefixes)]
+    return df.select(*keep)
+
+
 def write_output(df: DataFrame, path: str, partition_by_source: bool = True) -> None:
     w = df.write.mode("overwrite").option("compression", "snappy")
     if partition_by_source:

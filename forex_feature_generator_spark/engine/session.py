@@ -42,6 +42,11 @@ def get_spark(app_name: str = "forex_feature_generator_spark",
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "268435456")
+        # sandbox: shuffle spill dirs on tmpfs — the VM's virtual disk has
+        # wildly variable throughput (2-3x run-to-run noise on shuffle-heavy
+        # jobs); RAM-backed local dirs make timings reproducible
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

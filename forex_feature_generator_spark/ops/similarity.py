@@ -49,6 +49,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("cosine", 6).alias("cosine")))
 
 
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+    Brute-force baseline (broadcast one side); at scale swap the candidate
+    generation for lsh_topk-style bucket joins."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    scored = with_cosine(pairs, "va", "vb").drop("va", "vb")
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_planes, dim)).tolist()
