@@ -147,7 +147,7 @@ def bench_queries(spark) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-scaling", action="store_true")
-    ap.add_argument("--corpus", default="64x20000")
+    ap.add_argument("--corpus", default="128x100000")
     args = ap.parse_args()
 
     result: dict = {"metric": "headline suite wall time (sf ~0.1) + feature rows/sec scaling",
@@ -157,8 +157,8 @@ def main() -> None:
     if not args.skip_scaling:
         corpus = _ensure_corpus(args.corpus)
         low_cores = max(1, CPUS // 4)
-        dt_low, rows = bench_features_subprocess(low_cores, corpus)
-        dt_high, rows2 = bench_features_subprocess(CPUS, corpus)
+        dt_low, rows = bench_features_subprocess_trials(low_cores, corpus, trials=2)
+        dt_high, rows2 = bench_features_subprocess_trials(CPUS, corpus, trials=2)
         assert rows == rows2, (rows, rows2)
         r_low = rows / dt_low
         r_high = rows / dt_high
