@@ -714,7 +714,7 @@ def q28_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family, vector modality).
     Low threshold so the random synthetic vectors yield a non-trivial set."""
     emb = _load(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dups(emb, threshold=0.55)
+    return SIM.embedding_near_dups(emb, threshold=0.35)
 
 
 SQL_Q28 = """
@@ -726,7 +726,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.ev, b.ev)
       / (sqrt(list_dot_product(a.ev, a.ev))
-         * sqrt(list_dot_product(b.ev, b.ev))) >= 0.55
+         * sqrt(list_dot_product(b.ev, b.ev))) >= 0.35
 """
 
 

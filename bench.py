@@ -144,6 +144,42 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
+def _ensure_seq_corpus(n_rows: int = 120_000) -> str:
+    """Deterministic tokenized-sequence corpus (input_hint shape)."""
+    path = os.path.join(CORPUS_DIR, f"seqs{n_rows}")
+    done = os.path.join(path, "_DONE")
+    if os.path.isfile(done):
+        return path
+    from forex_feature_generator_spark import synth
+    pdf = synth.gen_sequences(n_sources=64, n_rows=n_rows, seed=42)
+    os.makedirs(path, exist_ok=True)
+    pdf[["doc_id", "tokens", "n_tok", "source"]].to_parquet(
+        os.path.join(path, "seqs.parquet"), index=False)
+    with open(done, "w") as f:
+        f.write(str(n_rows))
+    return path
+
+
+def bench_tokens(spark) -> dict:
+    """North-rule tokens-table pipeline: window features (pure JVM) + the
+    148-feature Arrow kernel over the derived bar series, tokens passed
+    through byte-identical."""
+    from forex_feature_generator_spark.engine import tokens as etok
+    path = _ensure_seq_corpus()
+    seqs = spark.read.parquet(os.path.join(path, "seqs.parquet"))
+    t0 = time.time()
+    n_win = etok.window_features(seqs).count()
+    t_win = time.time() - t0
+    t0 = time.time()
+    n_full = etok.full_features(seqs).count()
+    t_full = time.time() - t0
+    return {
+        "tokens_window_rows_per_sec": round(n_win / t_win, 1),
+        "tokens_full148_rows_per_sec": round(n_full / max(t_full, 1e-9), 1),
+        "tokens_rows": n_win,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-scaling", action="store_true")
@@ -187,12 +223,14 @@ def main() -> None:
         t0 = time.time()
         queries = bench_queries(spark)
         suite_sec = time.time() - t0
+        tokens = bench_tokens(spark)
     finally:
         spark.stop()
 
     result["value"] = round(suite_sec, 2)
     result["queries"] = queries
     result.update(scaling)
+    result.update(tokens)
     print(json.dumps(result))
 
 
