@@ -173,9 +173,6 @@ def anchored_m1(open_, high, low, close, vol, up, down, avg_spread):
         np.abs(nd) > 2, -sgn(nd) * np.minimum(1.0, np.abs(nd) / 3), 0.0)
 
     # --- Technical ---
-    gains = fsum(np.where(rd > 0, rd, 0.0), 14)
-    losses = fsum(np.where(rd > 0, 0.0, np.abs(rd)), 14)
-
     def rsi(p):
         g = fsum(np.where(rd > 0, rd, 0.0), p) / p
         l = fsum(np.where(rd > 0, 0.0, np.abs(rd)), p) / p
@@ -617,6 +614,8 @@ def anchored_m5(open_, high, low, close, vol, up, down, avg_spread, ts_us):
 
     dp = W20 - W20.mean(axis=1)[:, None]
     dv = Wv20 - Wv20.mean(axis=1)[:, None]
+    # correlation uses the C# raw-moment formula verbatim (cancellation and
+    # all); covariance uses the two-pass form like the C# helper
     num = 20 * (W20 * Wv20).sum(axis=1) - W20.sum(axis=1) * Wv20.sum(axis=1)
     den = np.sqrt((20 * (W20 ** 2).sum(axis=1) - W20.sum(axis=1) ** 2)
                   * (20 * (Wv20 ** 2).sum(axis=1) - Wv20.sum(axis=1) ** 2))
