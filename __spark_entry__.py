@@ -95,8 +95,8 @@ SELECT event_type, bucket_ts,
        min(value) AS low,
        last(value ORDER BY ts, event_id) AS close,
        count(*) AS n_events,
-       sum(CASE WHEN prev IS NOT NULL AND value > prev THEN 1 ELSE 0 END) AS up_ticks,
-       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS down_ticks
+       sum(CASE WHEN prev IS NOT NULL AND value > prev THEN 1 ELSE 0 END)::BIGINT AS up_ticks,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)::BIGINT AS down_ticks
 FROM t GROUP BY event_type, bucket_ts
 """
 
@@ -124,7 +124,7 @@ WITH t AS (
   FROM events)
 SELECT event_type, round(avg(value), 6) AS avg_value,
        min(value) AS min_value, max(value) AS max_value,
-       count(*) AS n_rows, coalesce(sum(viol), 0) AS ts_violations
+       count(*) AS n_rows, coalesce(sum(viol), 0)::BIGINT AS ts_violations
 FROM t GROUP BY event_type
 """
 
@@ -194,7 +194,7 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts))
 SELECT event_id, user_id,
        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT - 1 AS session_id
 FROM t
 """
 
@@ -250,7 +250,7 @@ def q08_warmup_filter(spark, sf_dir):
     """Warm-up row_number filter (Program.cs:194,267)."""
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.withColumn("rn", F.row_number().over(w))
+    return (ev.withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") > 20)
             .select("event_id", "user_id", "rn"))
 
@@ -534,7 +534,7 @@ WITH t AS (
          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_c
   FROM documents),
 r AS (
-  SELECT doc_id, n_ws_tokens, n_bpe_tokens, len(words) AS n_words,
+  SELECT doc_id, n_ws_tokens, n_bpe_tokens, len(words)::BIGINT AS n_words,
          punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
          len(list_filter(words, w -> list_contains({_STOP_EN}, w))) * 1.0
            / greatest(len(words), 1) AS stop_ratio,
@@ -624,13 +624,13 @@ def q22_multimodal_meta(spark, sf_dir):
     assets = MM.documents_as_assets(docs)
     return assets.select(
         "asset_id", "modality",
-        F.octet_length("content").alias("n_bytes"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
         F.sha2("content", 256).alias("sha"))
 
 
 SQL_Q22 = """
 SELECT doc_id::VARCHAR AS asset_id, 'image' AS modality,
-       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha
 FROM documents
 """
@@ -697,13 +697,13 @@ def q26_embedding_stats(spark, sf_dir):
     ssq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     sm = F.aggregate(v, F.lit(0.0), lambda a, b: a + b)
     return emb.select(
-        "vec_id", F.size("embedding").alias("dim"),
+        "vec_id", F.size("embedding").cast("long").alias("dim"),
         F.round(F.sqrt(ssq), 6).alias("l2_norm"),
         F.round(sm / F.size("embedding"), 6).alias("mean_val"))
 
 
 SQL_Q26 = """
-SELECT vec_id, len(embedding) AS dim,
+SELECT vec_id, len(embedding)::BIGINT AS dim,
        round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
        round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
 FROM embeddings

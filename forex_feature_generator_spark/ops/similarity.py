@@ -43,7 +43,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = with_cosine(joined, "q_vec", "c_vec").drop("q_vec", "c_vec")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cosine", 6).alias("cosine")))
@@ -111,7 +111,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cosine", 6).alias("cosine")))

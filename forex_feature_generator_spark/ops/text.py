@@ -23,8 +23,8 @@ ROLL_P = (1 << 55) - 55
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish regex token estimate (letters / digits /
     punctuation runs split apart, like a byte-pair pre-tokenizer)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).cast("long")
     return (docs.withColumn("n_ws_tokens", ws)
             .withColumn("n_bpe_tokens", bpe))
 
@@ -49,7 +49,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
              + (1 - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))) * 0.2
              + (1 - F.least(F.lit(1.0), upper_ratio * F.lit(5.0))) * 0.2)
     return (docs
-            .withColumn("n_words", n_words)
+            .withColumn("n_words", n_words.cast("long"))
             .withColumn("punct_ratio", F.round(punct_ratio, 6))
             .withColumn("stop_ratio", F.round(stop_ratio, 6))
             .withColumn("avg_word_len", F.round(avg_word_len, 6))
