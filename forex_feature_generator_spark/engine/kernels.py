@@ -21,6 +21,13 @@ No temporal leakage: for every emission the anchored read a+63 < t (full) or
 
 All arrays are float64; division by zero follows IEEE (matches C# doubles);
 min/max use NaN-propagating np.minimum/np.maximum like Math.Min/Max.
+
+Known knife edge (tests/test_edge_paths.py): on BITWISE-FLAT trailing windows
+the discrete branch features (EMA-stack alignments, SafeDiv's 1e-10 guard on
+an exactly-zero ATR) depend on last-ulp summation order; the oracle matches
+C#'s sequential sums while these kernels sum pairwise. Real tick data never
+produces exactly-constant 64-bar windows; on such windows values remain
+finite/clipped and non-flat rows keep full parity.
 """
 
 from __future__ import annotations
