@@ -79,10 +79,8 @@ def _features_chunk_fn(warmup_bars: int):
         out = compute_features_pdf(
             m1_pdf, m5_pdf, warmup_bars=warmup_bars,
             bar_index_offset=base, m5_index_offset=m5_base)
-        if out.empty:
-            out["source"] = []
-            return out
-        out = out[out["bar_index"] >= lo].drop(columns=["bar_index"])
+        out = (out[out["bar_index"] >= lo] if len(out) else out).drop(
+            columns=["bar_index"])
         out["source"] = source
         return out
     return fn
