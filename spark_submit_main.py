@@ -49,7 +49,11 @@ def main() -> None:
 
     if args.synth_ticks:
         from forex_feature_generator_spark import synth
-        n_sources, n_ticks = (int(x) for x in args.synth_ticks.split("x"))
+        try:
+            n_sources, n_ticks = (int(x) for x in args.synth_ticks.split("x"))
+        except ValueError:
+            ap.error(f"--synth-ticks expects SOURCESxTICKS (e.g. 64x50000), "
+                     f"got {args.synth_ticks!r}")
         pdf = synth.gen_ticks(n_sources=n_sources, ticks_per_source=n_ticks)
         ticks = spark.createDataFrame(pdf)
     elif args.input:
