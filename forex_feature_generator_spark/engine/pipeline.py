@@ -1,17 +1,22 @@
 """End-to-end Spark pipeline (SURVEY §7.1):
 
 ticks → [seq/secondary sort] → tick-direction window → M1/M5 tumbling bars
-      → cogroup(M1, M5).applyInPandas feature kernel   (Arrow, per source)
       → cogroup(emissions, ticks).applyInPandas labels (Arrow, per source)
-      → sort-merge join on (source, ts_us) → 150-column output
+      → labels joined onto the NARROW m1 bar stream (bars ⋈ 4-column labels)
+      → cogroup(m1+label, M5).applyInPandas feature kernel → 150-column output
 
 Shuffle budget: one exchange on `source` feeds the tick-direction window and
-both bar aggregations (partial aggregation map-side); the two cogroups and the
-final join all reuse source-hash partitioning. For hot sources see
-engine/skew.py (salted halo-chunking)."""
+both bar aggregations (partial aggregation map-side); labels are fused into
+the feature cogroup by joining them onto the bar stream BEFORE the kernel, so
+the wide 150-column output is never shuffled, broadcast, or re-joined
+(the label side is one row per emission — unbounded at 100 TB, so a broadcast
+there would be a driver-OOM scale killer; the bars⋈labels join is
+narrow⋈narrow and AQE picks the strategy). For hot sources see engine/skew.py
+(salted halo-chunking — the default execution path in spark_submit_main)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,7 +28,20 @@ from .labels import labels_for_source
 
 FEATURES_SCHEMA = ("source string, ts_us long, timestamp long, completion_seq long, "
                    + ", ".join(f"`{c}` double" for c in FEATURE_NAMES))
+FEATURES_LABELED_SCHEMA = FEATURES_SCHEMA + ", label int"
 LABELS_SCHEMA = "source string, ts_us long, label int"
+
+
+def attach_label(out, m1_pdf):
+    """Carries the pre-joined per-bar label through the feature kernel
+    (ts_us == bar_ts_us is unique per source/chunk group). No-op for callers
+    whose bar stream has no label column (tokens pipeline)."""
+    if "label" not in m1_pdf.columns:
+        return out
+    lab = pd.Series(m1_pdf["label"].to_numpy(),
+                    index=m1_pdf["bar_ts_us"].to_numpy())
+    out["label"] = lab.reindex(out["ts_us"].to_numpy()).to_numpy("int32")
+    return out
 
 
 def _features_fn(warmup_bars: int):
@@ -31,13 +49,12 @@ def _features_fn(warmup_bars: int):
         out = compute_features_pdf(m1_pdf, m5_pdf, warmup_bars=warmup_bars)
         out = out.drop(columns=["bar_index"])
         out["source"] = key[0]
-        return out
+        return attach_label(out, m1_pdf)
     return fn
 
 
 def _labels_fn(cfg: LabelConfig):
     def fn(key, emissions_pdf, ticks_pdf):
-        import pandas as pd
         if emissions_pdf.empty or ticks_pdf.empty:
             return pd.DataFrame({"source": pd.Series(dtype="object"),
                                  "ts_us": pd.Series(dtype="int64"),
@@ -56,6 +73,12 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     """ticks: (source, ts, bid, ask[, seq]). Returns the feature+label rows:
     (source, ts_us, <148 features>, label, timestamp)."""
     cfg = label_cfg or LabelConfig()
+    # The bars ⋈ labels join below is flagged by the dataset-id heuristic
+    # because `labels` contains m1 in its lineage — but the applyInPandas
+    # output carries FRESH attributes, so resolution is unambiguous; disable
+    # the heuristic (the actual bound condition is left.source = right.source
+    # with distinct expr ids, verified by tests/test_skew.py equivalence).
+    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     if "seq" not in ticks.columns:
         ticks = ebars.with_seq(ticks)
     if cache_ticks:
@@ -65,11 +88,6 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     m1 = ebars.aggregate_bars(td, 1)
     m5 = ebars.aggregate_bars(td, 5)
 
-    features = (
-        m1.groupBy("source").cogroup(m5.groupBy("source"))
-        .applyInPandas(_features_fn(warmup_bars), schema=FEATURES_SCHEMA)
-    )
-
     emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
                  .select("source", F.col("bar_ts_us").alias("ts_us"), "completion_seq"))
     labels = (
@@ -78,11 +96,18 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
         .applyInPandas(_labels_fn(cfg), schema=LABELS_SCHEMA)
     )
 
-    # labels are 3 narrow columns — broadcast them so the 150-column feature
-    # side is never shuffled for the join
-    result = (features.join(F.broadcast(labels), ["source", "ts_us"], "inner")
-              .select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp"))
-    return result
+    # Fuse labels into the feature cogroup: join the 3-column label rows onto
+    # the NARROW bar stream (bars ⋈ labels, both one-row-per-bar), then let
+    # the kernel pass the label through — the wide 150-column output is never
+    # shuffled and the unbounded label side is never broadcast.
+    m1l = m1.join(labels.withColumnRenamed("ts_us", "bar_ts_us"),
+                  ["source", "bar_ts_us"], "left")
+
+    features = (
+        m1l.groupBy("source").cogroup(m5.groupBy("source"))
+        .applyInPandas(_features_fn(warmup_bars), schema=FEATURES_LABELED_SCHEMA)
+    )
+    return features.select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp")
 
 
 # FeatureConfiguration equivalent (SURVEY §2.10): calculator enable/disable

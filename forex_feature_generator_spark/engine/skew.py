@@ -1,4 +1,5 @@
-"""Salted halo-chunking for hot sources (SURVEY §4 axis B).
+"""Salted halo-chunking for hot sources (SURVEY §4 axis B) — the DEFAULT
+execution path (spark_submit_main).
 
 Per-entity windows are order-dependent, so plain salting would corrupt them.
 Instead each hot source's bar stream is cut into fixed-size chunks that carry
@@ -15,6 +16,16 @@ bar range, so results are bit-identical to the unsalted run (verified by
 tests/test_skew.py) while a 10x-hot source becomes ceil(n/chunk) parallel
 tasks instead of one straggler.
 
+Scale shape of the replication joins: a naive equi-join on `source` followed
+by a range filter generates |rows| x |chunks-per-source| candidates — at
+100 TB a hot source has thousands of chunks and the join itself becomes
+quadratic. Instead every range [lo, hi] is EXPLODED into the coarse buckets it
+overlaps and the join key is (source, bucket): each row probes O(1) candidate
+ranges regardless of how many chunks the source has, and the key carries the
+bucket so hot sources no longer skew the join either. The bounds table (one
+row per source-chunk) stays distributed — no driver toPandas(); lineage to
+m1/m5 is broken with an RDD round-trip so the joins cannot alias-collide.
+
 Chunk-0 caveat: the absolute-run-count gates (warm-up 260, emission-state
 counts <= 110) only affect bar indices < ~560, which always live in chunk 0
 with a complete prefix — later chunks pass every gate, and their ring-buffer
@@ -22,7 +33,6 @@ reads stay inside the halo."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,11 +42,12 @@ from ..oracle.pipeline import FEATURE_NAMES
 from . import bars as ebars
 from .features import compute_features_pdf, WARMUP_BARS
 from .labels import compute_labels
-from .pipeline import FEATURES_SCHEMA, LABELS_SCHEMA
+from .pipeline import FEATURES_LABELED_SCHEMA, LABELS_SCHEMA, attach_label
 
 M1_HALO = 620
 M5_HALO = 620
 LABEL_HALO = 600
+TICK_BUCKET = 1 << 16
 
 
 def _chunk_bounds(m1: DataFrame, m5: DataFrame, chunk_bars: int) -> DataFrame:
@@ -65,12 +76,20 @@ def _chunk_bounds(m1: DataFrame, m5: DataFrame, chunk_bars: int) -> DataFrame:
     return (c.join(start, ["source", "chunk"]).join(end, ["source", "chunk"]))
 
 
+def _bucketed(bounds_sel: DataFrame, lo: str, hi: str, bucket: int) -> DataFrame:
+    """Explodes each [lo, hi] range row into the coarse buckets it overlaps so
+    the replication join can use (source, bkt) as an equi key."""
+    return bounds_sel.withColumn(
+        "bkt", F.explode(F.sequence(F.floor(F.col(lo) / F.lit(bucket)),
+                                    F.floor(F.col(hi) / F.lit(bucket)))))
+
+
 def _features_chunk_fn(warmup_bars: int):
     def fn(key, m1_pdf, m5_pdf):
         source, chunk = key[0], key[1]
         if m1_pdf.empty:
             return pd.DataFrame(columns=["source", "ts_us", "timestamp",
-                                         "completion_seq"] + FEATURE_NAMES)
+                                         "completion_seq"] + FEATURE_NAMES + ["label"])
         m1_pdf = m1_pdf.sort_values("bar_index").reset_index(drop=True)
         m5_pdf = m5_pdf.sort_values("bar_index").reset_index(drop=True)
         lo = int(m1_pdf["emit_lo"].iloc[0])
@@ -82,7 +101,7 @@ def _features_chunk_fn(warmup_bars: int):
         out = (out[out["bar_index"] >= lo] if len(out) else out).drop(
             columns=["bar_index"])
         out["source"] = source
-        return out
+        return attach_label(out, m1_pdf)
     return fn
 
 
@@ -111,10 +130,9 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
     """Halo-chunked variant of engine.pipeline.run_pipeline — identical
     results, hot sources split into bounded parallel tasks."""
     cfg = label_cfg or LabelConfig()
-    # The cogroup sides here are independent plans that happen to share leaf
-    # attribute ids (both trace to `ticks`); the dataset-id heuristic flags
-    # them as an ambiguous self-join even though key resolution is positional
-    # and well-defined. Disable the heuristic for this session.
+    # see engine/pipeline.py: the bars ⋈ labels fusion join trips the
+    # dataset-id heuristic even though the applyInPandas side has fresh
+    # attributes; resolution is positional and well-defined.
     spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     if "seq" not in ticks.columns:
         ticks = ebars.with_seq(ticks)
@@ -123,55 +141,64 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
     m1 = ebars.aggregate_bars(td, 1).persist()
     m5 = ebars.aggregate_bars(td, 5).persist()
 
-    # The bounds table is tiny (one row per source-chunk). Materialize it on
-    # the driver and re-create it: breaks the shared lineage with m1/m5 (which
-    # would otherwise trip Spark's ambiguous-self-join detection inside the
-    # cogroups) and makes the broadcast explicit.
-    bounds_pdf = _chunk_bounds(m1, m5, chunk_bars).toPandas()
+    # The bounds table is tiny (one row per source-chunk) and STAYS
+    # distributed. The RDD round-trip breaks the shared lineage with m1/m5
+    # (fresh attribute ids) so the replication joins below cannot resolve the
+    # two sides to the same attributes; persist so it computes once.
+    raw_bounds = _chunk_bounds(m1, m5, chunk_bars)
+    bounds = spark.createDataFrame(raw_bounds.rdd, raw_bounds.schema).persist()
 
-    def b():
-        # fresh dataset per use site — cogroup sides must not share lineage
-        return F.broadcast(spark.createDataFrame(bounds_pdf))
-
-    # replicate m1 bars into [b_lo - M1_HALO, b_hi]
-    m1r = (m1.join(b().select("source", "chunk",
-                            (F.col("b_lo") - F.lit(M1_HALO)).alias("rlo"),
-                            F.col("b_hi").alias("rhi"),
-                            F.col("b_lo").alias("emit_lo")),
-                   "source")
-           .filter((F.col("bar_index") >= F.col("rlo"))
-                   & (F.col("bar_index") <= F.col("rhi")))
-           .drop("rlo", "rhi"))
-    # replicate m5 bars into visible range [m5c_start - M5_HALO, m5c_end)
-    m5r = (m5.join(b().select("source", "chunk",
-                            (F.col("m5c_start") - F.lit(M5_HALO)).alias("rlo"),
-                            F.col("m5c_end").alias("rhi")),
-                   "source")
-           .filter((F.col("bar_index") >= F.col("rlo"))
-                   & (F.col("bar_index") < F.col("rhi")))
-           .drop("rlo", "rhi"))
-
-    features = (m1r.groupBy("source", "chunk")
-                .cogroup(m5r.groupBy("source", "chunk"))
-                .applyInPandas(_features_chunk_fn(warmup_bars),
-                               schema=FEATURES_SCHEMA))
-
-    # labels: emissions chunked the same way; ticks replicated per chunk with
-    # the +600 forward halo
+    # --- labels first: one cogroup over (emissions, haloed ticks) per chunk
     emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
                  .withColumn("chunk", (F.col("bar_index") / F.lit(chunk_bars)).cast("long"))
                  .select("source", "chunk", F.col("bar_ts_us").alias("ts_us"),
                          "completion_seq"))
-    tick_ranges = b().select("source", "chunk",
-                           F.col("comp_lo").alias("t_lo"),
-                           (F.col("comp_hi") + F.lit(LABEL_HALO)).alias("t_hi"))
+    tick_ranges = _bucketed(
+        bounds.select("source", "chunk",
+                      F.col("comp_lo").alias("t_lo"),
+                      (F.col("comp_hi") + F.lit(LABEL_HALO)).alias("t_hi")),
+        "t_lo", "t_hi", TICK_BUCKET)
     ticks_r = (ticks.select("source", "seq", "bid", "ask")
-               .join(tick_ranges, "source")
+               .withColumn("bkt", F.floor(F.col("seq") / F.lit(TICK_BUCKET)))
+               .join(tick_ranges, ["source", "bkt"])
                .filter((F.col("seq") >= F.col("t_lo")) & (F.col("seq") <= F.col("t_hi")))
-               .drop("t_lo", "t_hi"))
+               .drop("bkt", "t_lo", "t_hi"))
     labels = (emissions.groupBy("source", "chunk")
               .cogroup(ticks_r.groupBy("source", "chunk"))
               .applyInPandas(_labels_chunk_fn(cfg), schema=LABELS_SCHEMA))
 
-    return (features.join(F.broadcast(labels), ["source", "ts_us"], "inner")
-            .select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp"))
+    # fuse: labels joined onto the NARROW bar stream before replication, so
+    # the wide feature output is never shuffled or broadcast (labels come out
+    # of applyInPandas with fresh attributes — no self-join collision)
+    m1l = m1.join(labels.select("source", F.col("ts_us").alias("bar_ts_us"), "label"),
+                  ["source", "bar_ts_us"], "left")
+
+    # replicate m1 bars into [b_lo - M1_HALO, b_hi]
+    m1_ranges = _bucketed(
+        bounds.select("source", "chunk",
+                      (F.col("b_lo") - F.lit(M1_HALO)).alias("rlo"),
+                      F.col("b_hi").alias("rhi"),
+                      F.col("b_lo").alias("emit_lo")),
+        "rlo", "rhi", chunk_bars)
+    m1r = (m1l.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
+           .join(m1_ranges, ["source", "bkt"])
+           .filter((F.col("bar_index") >= F.col("rlo"))
+                   & (F.col("bar_index") <= F.col("rhi")))
+           .drop("bkt", "rlo", "rhi"))
+    # replicate m5 bars into visible range [m5c_start - M5_HALO, m5c_end)
+    m5_ranges = _bucketed(
+        bounds.select("source", "chunk",
+                      (F.col("m5c_start") - F.lit(M5_HALO)).alias("rlo"),
+                      F.col("m5c_end").alias("rhi")),
+        "rlo", "rhi", chunk_bars)
+    m5r = (m5.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
+           .join(m5_ranges, ["source", "bkt"])
+           .filter((F.col("bar_index") >= F.col("rlo"))
+                   & (F.col("bar_index") < F.col("rhi")))
+           .drop("bkt", "rlo", "rhi"))
+
+    features = (m1r.groupBy("source", "chunk")
+                .cogroup(m5r.groupBy("source", "chunk"))
+                .applyInPandas(_features_chunk_fn(warmup_bars),
+                               schema=FEATURES_LABELED_SCHEMA))
+    return features.select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp")

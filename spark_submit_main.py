@@ -2,7 +2,7 @@
 
 Examples:
   spark-submit --master local[32] --py-files ffg.zip spark_submit_main.py \
-      --synth-ticks 64x50000 --output /tmp/features --salted
+      --synth-ticks 64x50000 --output /tmp/features
   spark-submit ... spark_submit_main.py --input ticks.parquet \
       --output /data/features_table --resume --batch-sources 8
 
@@ -28,7 +28,9 @@ def main() -> None:
     ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features", choices=["features", "tokens"])
-    ap.add_argument("--salted", action="store_true", help="halo-chunked hot-source path")
+    ap.add_argument("--no-chunking", action="store_true",
+                    help="disable the default halo-chunked execution (one "
+                         "unbounded pandas group per source — test/debug only)")
     ap.add_argument("--chunk-bars", type=int, default=4000)
     ap.add_argument("--resume", action="store_true",
                     help="snapshot-manifest checkpoint/resume (per-partition lineage)")
@@ -81,10 +83,11 @@ def main() -> None:
         print(json.dumps({"resume": stats}, default=str))
         n = spark.read.parquet(args.output).count()
     else:
-        if args.salted:
-            out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=args.chunk_bars)
-        else:
+        if args.no_chunking:
             out = epipe.run_pipeline(spark, ticks)
+        else:
+            # default: bounded memory per task regardless of source skew
+            out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=args.chunk_bars)
         out.write.mode("overwrite").partitionBy("source").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         if args.normalize:
