@@ -429,11 +429,12 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.08
 """
 
 
-def _hex2int_sql(expr8: str) -> str:
-    """SQL for: 8-hex-char string -> bigint (matches Spark conv(x,16,10))."""
+def _hex2int_sql(expr: str, n: int = 8) -> str:
+    """SQL for: n-hex-char string -> bigint (matches Spark conv(x,16,10));
+    n <= 15 keeps the value inside a signed int64."""
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', {expr8}[{i + 1}:{i + 1}]) - 1)::BIGINT"
-        f" * {16 ** (7 - i)}::BIGINT" for i in range(8))
+        f"(strpos('0123456789abcdef', {expr}[{i + 1}:{i + 1}]) - 1)::BIGINT"
+        f" * {16 ** (n - 1 - i)}::BIGINT" for i in range(n))
     return f"({terms})"
 
 
@@ -480,11 +481,44 @@ WHERE len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.05
 
 
 def q17_simhash(spark, sf_dir):
-    """SimHash near-dup pairs. NO ORACLE (xxhash64 token hashing is
-    Spark-internal) — rows-only check; exactness is covered by
-    tests/test_ops.py against a Python SimHash reference."""
+    """SimHash near-dup pairs (60-bit md5-prefix token hashes, 15-bit band
+    blocking) — full signature parity with the DuckDB oracle below."""
     docs = _load(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=14)
+
+
+def _sql_q17() -> str:
+    """DuckDB mirror of ops.dedup.simhash_pairs: identical 60-bit md5 token
+    hash, per-bit majority vote, 4x15-bit band blocking, Hamming filter."""
+    from forex_feature_generator_spark.ops.dedup import (SIMHASH_BAND_BITS,
+                                                         SIMHASH_BITS)
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS))
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS words
+  FROM documents),
+tok AS (SELECT id, unnest(words) AS t FROM w),
+h AS (SELECT id, {_hex2int_sql("md5(t)[1:15]", 15)} AS h FROM tok),
+votes AS (SELECT id, {votes} FROM h GROUP BY id),
+sigs AS (SELECT id, ({sig}) AS sig FROM votes),
+banded AS (
+  SELECT id, sig, band, (sig >> (band * {SIMHASH_BAND_BITS})) & {mask} AS bh
+  FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, x.sig AS h_a, y.id AS id_b, y.sig AS h_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+                             AND x.id < y.id)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 14
+"""
 
 
 def q18_ann_cosine(spark, sf_dir):
@@ -637,11 +671,30 @@ FROM documents
 
 
 def q23_multimodal_decode(spark, sf_dir):
-    """Arrow-batched media-decode plumbing (mapInPandas). NO ORACLE — the
-    decode is a deterministic Python stub (no media libs in the sandbox);
-    rows-only check; stub determinism is covered by tests/test_ops.py."""
+    """Arrow-batched media-decode plumbing (mapInPandas). The decode stub is
+    a pure function of the content bytes (sha256-keyed), so the DuckDB oracle
+    reproduces it exactly; the all-null video/audio fields (n_frames,
+    sample_rate) are projected out here to keep both engines' dtypes aligned
+    (full schema covered by tests/test_ops.py)."""
     docs = _load(spark, sf_dir, "documents")
-    return MM.decode_assets(MM.documents_as_assets(docs))
+    return (MM.decode_assets(MM.documents_as_assets(docs))
+            .select("asset_id", "modality", "n_bytes", "sha256",
+                    "width", "height"))
+
+
+def _sql_q23() -> str:
+    """DuckDB mirror of ops.multimodal._fake_decode for image assets: the
+    width/height derive from the first two bytes of the sha256 digest."""
+    b0 = _hex2int_sql("sha256(text)[1:2]", 2)
+    b1 = _hex2int_sql("sha256(text)[3:4]", 2)
+    return f"""
+SELECT doc_id::VARCHAR AS asset_id, 'image' AS modality,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       (64 + {b0} % 192)::INTEGER AS width,
+       (64 + {b1} % 192)::INTEGER AS height
+FROM documents
+"""
 
 
 def q24_decayed_mean(spark, sf_dir):
@@ -711,19 +764,43 @@ FROM embeddings
 
 
 def q28_embedding_dedup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup family, vector modality).
-    Low threshold so the random synthetic vectors yield a non-trivial set."""
+    """Embedding near-dup pairs via banded hyperplane-LSH candidates + exact
+    cosine rerank (the 100 TB path: bucket self-join, no cartesian product,
+    no corpus broadcast). Low threshold so the random synthetic vectors yield
+    a non-trivial set; the oracle mirrors the same candidate generation
+    (plane literals shared), and recall vs the brute-force baseline is
+    covered by tests/test_ops.py."""
     emb = _load(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dups(emb, threshold=0.35)
+    return SIM.embedding_near_dups_lsh(emb, dim=64, threshold=0.35,
+                                       n_planes=16, n_bands=4)
 
 
-SQL_Q28 = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+def _sql_q28() -> str:
+    """DuckDB mirror of embedding_near_dups_lsh: identical hyperplane
+    literals -> identical signatures -> identical candidate set -> exact
+    rerank on both sides."""
+    from forex_feature_generator_spark.ops.similarity import hyperplanes
+    planes = hyperplanes(64, 16)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, [{','.join(repr(x) for x in p)}]::DOUBLE[]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sigs AS (SELECT vec_id, ({sig_terms})::BIGINT AS sig FROM v),
+banded AS (
+  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bh
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+                             AND x.vec_id < y.vec_id)
+SELECT id_a, id_b,
        round(list_dot_product(a.ev, b.ev)
              / (sqrt(list_dot_product(a.ev, a.ev))
                 * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM cand JOIN v a ON a.vec_id = cand.id_a
+          JOIN v b ON b.vec_id = cand.id_b
 WHERE list_dot_product(a.ev, b.ev)
       / (sqrt(list_dot_product(a.ev, a.ev))
          * sqrt(list_dot_product(b.ev, b.ev))) >= 0.35
@@ -802,16 +879,16 @@ def oracle_sql() -> dict[str, str]:
         "q14_dedup_exact": SQL_Q14,
         "q15_ngram_jaccard": SQL_Q15,
         "q16_minhash": _sql_q16(),
-        # q17_simhash: no oracle (Spark-internal xxhash64) -> rows-only
+        "q17_simhash": _sql_q17(),
         "q18_ann_cosine": SQL_Q18,
         "q19_text_quality": SQL_Q19,
         "q20_langid": SQL_Q20,
         "q21_fingerprint": SQL_Q21,
         "q22_multimodal_meta": SQL_Q22,
-        # q23_multimodal_decode: no oracle (Python decode stub) -> rows-only
+        "q23_multimodal_decode": _sql_q23(),
         "q24_decayed_mean": SQL_Q24,
         "q25_minmax_norm": SQL_Q25,
         "q26_embedding_stats": SQL_Q26,
         "q27_join_agg": SQL_Q27,
-        "q28_embedding_dedup": SQL_Q28,
+        "q28_embedding_dedup": _sql_q28(),
     }

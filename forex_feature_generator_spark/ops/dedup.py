@@ -7,8 +7,8 @@
                         band-bucket join replaces the quadratic self-join)
   * simhash_pairs     — 64-bit SimHash + 16-bit-band blocking + Hamming check
 
-All hashing uses md5 prefixes (standardized across engines -> DuckDB-oracle
-checkable) or xxhash64 (Spark-internal paths). No Python UDFs."""
+All hashing uses md5 prefixes (standardized across engines -> every operator
+is DuckDB-oracle checkable, including SimHash). No Python UDFs."""
 
 from __future__ import annotations
 
@@ -147,23 +147,29 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     return est
 
 
+SIMHASH_BITS = 60   # md5-prefix token hash: 15 hex chars fit a signed int64
+#                     identically in Spark (conv) and DuckDB (oracle-checkable)
+SIMHASH_BAND_BITS = 15
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over distinct word unigrams
-    (xxhash64 token hashes, majority vote per bit).
+    """(id, simhash: long) — 60-bit SimHash over distinct word unigrams
+    (md5-prefix token hashes, majority vote per bit).
 
-    Scale shape: explode tokens -> ONE groupBy(id) with 64 conditional sums
+    Scale shape: explode tokens -> ONE groupBy(id) with 60 conditional sums
     (single shuffle, map-side partial aggregation), then fold the votes into
-    the 64-bit signature."""
+    the 60-bit signature."""
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     tok = (docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
-           .withColumn("h", F.xxhash64("w")))
+           .withColumn("h", F.conv(F.substring(F.md5(F.col("w")), 1, 15),
+                                   16, 10).cast("long")))
     votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"b{i}")
-             for i in range(64)]
+             for i in range(SIMHASH_BITS)]
     agg = tok.groupBy("id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{i}") > 0,
                    F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
@@ -173,13 +179,14 @@ def simhash(docs: DataFrame, text_col: str = "text",
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
-    16-bit bands (a pair within distance 3 shares at least one band)."""
+    15-bit bands (a pair within distance 3 shares at least one band)."""
     sigs = simhash(docs, text_col, id_col).persist()
     banded = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+                     F.shiftright("simhash", SIMHASH_BAND_BITS * i)
+                      .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("bh"))
             for i in range(4)])).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.bh")
     cand = (banded.alias("x").join(

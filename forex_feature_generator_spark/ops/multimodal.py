@@ -31,7 +31,7 @@ DECODED_SCHEMA = StructType([
     StructField("asset_id", StringType()),
     StructField("modality", StringType()),
     StructField("n_bytes", LongType()),
-    StructField("sha1", StringType()),
+    StructField("sha256", StringType()),
     StructField("width", IntegerType()),        # image/video (fake-decoded)
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),     # video
@@ -39,41 +39,44 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def _fake_decode(content: bytes, modality: str) -> dict:
+def _fake_decode(digest: bytes, modality: str) -> tuple:
     """Deterministic stand-in for the real decoder: derives plausible
-    dimensions from the content hash so tests are stable. Replace with
-    PIL/librosa/pyav when available."""
-    h = hashlib.sha1(content or b"").digest()
-    return {
-        "width": 64 + h[0] % 192 if modality in ("image", "video") else None,
-        "height": 64 + h[1] % 192 if modality in ("image", "video") else None,
-        "n_frames": 1 + h[2] % 300 if modality == "video" else None,
-        "sample_rate": (8000, 16000, 44100)[h[3] % 3] if modality == "audio" else None,
-    }
+    dimensions from the sha256 content digest so tests are stable AND the
+    whole stub is a pure function of the bytes — expressible in the DuckDB
+    oracle (q23). Replace with PIL/librosa/pyav when available."""
+    h = digest
+    return (
+        64 + h[0] % 192 if modality in ("image", "video") else None,
+        64 + h[1] % 192 if modality in ("image", "video") else None,
+        1 + h[2] % 300 if modality == "video" else None,
+        (8000, 16000, 44100)[h[3] % 3] if modality == "audio" else None,
+    )
 
 
 def decode_assets(assets: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched metadata extraction. The per-batch pandas work is the
-    ONLY Python in this module; everything upstream/downstream is columnar."""
+    ONLY Python in this module (columnar list comprehensions, no iterrows);
+    everything upstream/downstream is columnar."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"] or b"")
-                if strict:
-                    raise NotImplementedError(
-                        "real media decoding requires image/audio libraries "
-                        "not present in this environment")
-                meta = _fake_decode(content, r["modality"])
-                rows.append({
-                    "asset_id": r["asset_id"],
-                    "modality": r["modality"],
-                    "n_bytes": len(content),
-                    "sha1": hashlib.sha1(content).hexdigest(),
-                    **meta,
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            if strict and len(pdf):
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libraries "
+                    "not present in this environment")
+            contents = [bytes(c or b"") for c in pdf["content"]]
+            digests = [hashlib.sha256(c).digest() for c in contents]
+            metas = [_fake_decode(d, m) for d, m in zip(digests, pdf["modality"])]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "modality": pdf["modality"].to_numpy(),
+                "n_bytes": [len(c) for c in contents],
+                "sha256": [d.hex() for d in digests],
+                "width": pd.array([m[0] for m in metas], dtype="Int32"),
+                "height": pd.array([m[1] for m in metas], dtype="Int32"),
+                "n_frames": pd.array([m[2] for m in metas], dtype="Int32"),
+                "sample_rate": pd.array([m[3] for m in metas], dtype="Int32"),
+            })
 
     return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 

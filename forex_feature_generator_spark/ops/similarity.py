@@ -52,13 +52,56 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
-    Brute-force baseline (broadcast one side); at scale swap the candidate
-    generation for lsh_topk-style bucket joins."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t) by
+    EXHAUSTIVE all-pairs comparison — O(n^2), test-oracle/recall-baseline
+    only. The scale path is embedding_near_dups_lsh (banded hyperplane
+    buckets; no full-corpus broadcast, no cartesian product)."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     scored = with_cosine(pairs, "va", "vb").drop("va", "vb")
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_near_dups_lsh(corpus: DataFrame, dim: int,
+                            threshold: float = 0.95,
+                            n_planes: int = 16, n_bands: int = 4,
+                            seed: int = 42,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs at scale: random-hyperplane LSH bands generate
+    candidates (bucket self-join on (band, band_hash) — candidates per row ~
+    bucket size, never the corpus), then an EXACT cosine rerank keeps pairs
+    >= threshold. Output = {pairs sharing >= 1 band} ∩ {cosine >= t}: the
+    rerank gives precision 1 vs the brute-force baseline; recall is the LSH
+    collision probability (1 - (1 - (1-θ/π)^bits)^bands per pair — near 1 for
+    genuine near-dups at high thresholds, see tests/test_ops.py recall test).
+    At larger corpus sizes raise n_planes (bits per band = n_planes/n_bands
+    sets the bucket count per band = 2^bits)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bits_per_band = n_planes // n_bands
+    sigs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                         lsh_signature(F.col(vec_col), planes).alias("sig")).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("sig", b * bits_per_band)
+                      .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bh"))
+            for b in range(n_bands)])).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
+    # narrow dedup on ids only; vectors re-attached afterwards so the
+    # distinct never shuffles the embedding arrays
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    scored = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "va", "vb")
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
@@ -79,12 +122,13 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 16, n_bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bands restrict candidates to
-    shared buckets, then exact cosine rerank. Recall grows with n_bands."""
-    dim = len(corpus.select(vec_col).first()[0])
+    shared buckets, then exact cosine rerank. Recall grows with n_bands.
+    `dim` is a parameter (not inferred via an action) so operator construction
+    stays lazy — no job runs until the caller executes the plan."""
     planes = hyperplanes(dim, n_planes)
     bits_per_band = n_planes // n_bands
 

@@ -86,7 +86,8 @@ def test_lsh_topk_recall(spark):
     emb = spark.createDataFrame(pdf)
     queries = emb.filter(F.col("vec_id") < 5)
     exact = SIM.brute_force_topk(emb, queries, k=5).toPandas()
-    approx = SIM.lsh_topk(emb, queries, k=5, n_planes=16, n_bands=8).toPandas()
+    approx = SIM.lsh_topk(emb, queries, dim=16, k=5,
+                          n_planes=16, n_bands=8).toPandas()
     recall = 0.0
     for q in range(5):
         e = set(exact[exact.query_id == q]["neighbor_id"])
@@ -95,17 +96,42 @@ def test_lsh_topk_recall(spark):
     assert recall / 5 >= 0.5   # 8 bands of 2 bits: generous candidate sets
 
 
+def test_embedding_near_dups_lsh_recall(spark):
+    """The banded-LSH near-dup path must find every genuine near-duplicate
+    (planted at cosine ~0.9999) and never emit a pair the exact brute-force
+    baseline would reject (the rerank is exact -> precision 1)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(100, 32))
+    dups = base[:20] + rng.normal(scale=0.02, size=(20, 32))
+    vecs = np.vstack([base, dups]).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(120), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf)
+    exact = {(r.id_a, r.id_b) for r in
+             SIM.embedding_near_dups(emb, threshold=0.95).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           SIM.embedding_near_dups_lsh(emb, dim=32, threshold=0.95,
+                                       n_planes=16, n_bands=8).collect()}
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= exact
+    assert lsh <= exact       # precision 1: exact cosine rerank
+    assert planted <= lsh     # recall 1 on genuine near-dups
+    # miss probability per planted pair at cosine ~0.9999 with 8 bands of
+    # 2 bits is (θ/π-collision) ~ 4e-17 — deterministic in practice
+
+
 def test_multimodal_decode_deterministic(spark, docs):
     assets = MM.documents_as_assets(docs)
     out1 = MM.decode_assets(assets).orderBy("asset_id").toPandas()
     out2 = MM.decode_assets(assets).orderBy("asset_id").toPandas()
     pd.testing.assert_frame_equal(out1, out2)
-    # sha1 matches a local reference for one row
+    # sha256 matches a local reference for one row
     row = out1.iloc[0]
     src = docs.filter(F.col("doc_id").cast("string") == row["asset_id"]).first()
-    assert row["sha1"] == hashlib.sha1(src["text"].encode()).hexdigest()
+    digest = hashlib.sha256(src["text"].encode()).digest()
+    assert row["sha256"] == digest.hex()
     assert row["n_bytes"] == len(src["text"].encode())
-    assert 64 <= row["width"] <= 255
+    assert row["width"] == 64 + digest[0] % 192
+    assert row["height"] == 64 + digest[1] % 192
 
 
 def test_multimodal_strict_raises(spark, docs):
