@@ -89,7 +89,7 @@ def _simulate(entry: np.ndarray, price: np.ndarray, valid: np.ndarray,
         mae = np.where(upto & (move < 0), -move, 0.0).max(axis=1)
 
     profit = ((exit_price - entry) if is_long else (entry - exit_price)) / PIP
-    return profit, mae / PIP, activated, exit_tick, no_exit
+    return profit, mae / PIP, mfe / PIP, activated, exit_tick, no_exit
 
 
 def _quality(profit, mae, activated, exit_tick):
@@ -101,13 +101,22 @@ def _quality(profit, mae, activated, exit_tick):
 
 def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
                    cfg: LabelConfig | None = None,
-                   chunk: int = 1024) -> np.ndarray:
+                   chunk: int = 1024, return_metadata: bool = False):
     # chunk=1024 keeps the (chunk, 600) working set ~50 MB per task: with 32
     # concurrent Arrow workers a large chunk saturates memory bandwidth and
     # the stage anti-scales (measured 8.5s -> 2.7s at local[32]).
     """entry_seq: per-emission entry-tick positions into bid/ask (per source).
-    Returns int32 labels."""
+    Returns int32 labels; with return_metadata=True returns a DataFrame with
+    the full LabelResult surface (LabelGenerator.cs:17-27): label, confidence,
+    long/short profit pips, MAE/MFE, time-to-target, risk-reward, quality."""
     cfg = cfg or LabelConfig()
+    meta: dict[str, np.ndarray] = {
+        k: np.zeros(len(entry_seq))
+        for k in ("confidence", "long_profit_pips", "short_profit_pips",
+                  "mae_pips", "mfe_pips", "risk_reward", "quality_score")
+    } if return_metadata else {}
+    if return_metadata:
+        meta["time_to_target"] = np.zeros(len(entry_seq), dtype="int32")
     n = len(bid)
     Wn = cfg.max_future_ticks
     pad = np.full(Wn, np.nan)
@@ -128,6 +137,7 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
         E = len(cs)
         profit = np.zeros(E)
         mae = np.zeros(E)
+        mfe = np.zeros(E)
         act = np.zeros(E, dtype=bool)
         exit_tick = np.zeros(E, dtype="int64")
 
@@ -136,11 +146,12 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
         ks = np.minimum(k, short_w)
         price_s = Fwin[cs + 1][:, :short_w]
         valid_s = np.arange(short_w)[None, :] < ks[:, None]
-        p1, m1_, a1, e1, noex1 = _simulate(entry, price_s, valid_s, ks, is_long,
-                                           act_d, trail_d, sl_d, tp_d)
+        p1, m1_, f1, a1, e1, noex1 = _simulate(entry, price_s, valid_s, ks, is_long,
+                                               act_d, trail_d, sl_d, tp_d)
         resolved = (~noex1) | (k <= short_w)
         profit[resolved] = p1[resolved]
         mae[resolved] = m1_[resolved]
+        mfe[resolved] = f1[resolved]
         act[resolved] = a1[resolved]
         exit_tick[resolved] = e1[resolved]
 
@@ -150,13 +161,14 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
             kr = k[rest]
             price_f = Fwin[csr + 1]
             valid_f = np.arange(Wn)[None, :] < kr[:, None]
-            p2, m2_, a2, e2, _ = _simulate(entry[rest], price_f, valid_f, kr,
-                                           is_long, act_d, trail_d, sl_d[rest], tp_d)
+            p2, m2_, f2_, a2, e2, _ = _simulate(entry[rest], price_f, valid_f, kr,
+                                                is_long, act_d, trail_d, sl_d[rest], tp_d)
             profit[rest] = p2
             mae[rest] = m2_
+            mfe[rest] = f2_
             act[rest] = a2
             exit_tick[rest] = e2
-        return profit, mae, act, exit_tick
+        return profit, mae, mfe, act, exit_tick
 
     for s in range(0, len(entry_seq), chunk):
         cs = entry_seq[s:s + chunk]
@@ -171,8 +183,8 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
             slp = np.maximum(5.0, np.maximum(cfg.distance_pips, spread_pips * 3.0))
         sl_d = np.maximum(0.0, slp) * PIP
 
-        lp, lmae, lact, lexit = simulate_side(cs, k, ea, Fb, True, sl_d)
-        sp, smae, sact, sexit = simulate_side(cs, k, eb, Fa, False, sl_d)
+        lp, lmae, lmfe, lact, lexit = simulate_side(cs, k, ea, Fb, True, sl_d)
+        sp, smae, smfe, sact, sexit = simulate_side(cs, k, eb, Fa, False, sl_d)
         lq = _quality(lp, lmae, lact, lexit)
         sq = _quality(sp, smae, sact, sexit)
         conf = np.abs(lq - sq)
@@ -181,17 +193,49 @@ def compute_labels(entry_seq: np.ndarray, bid: np.ndarray, ask: np.ndarray,
         pick_short = (conf >= cfg.min_confidence) & (sq > lq) & (sq >= cfg.min_score)
         label[pick_long] = 1
         label[pick_short] = -1
-        label[k < 10] = 0
+        neutral = k < 10          # CreateNeutralResult: everything zero
+        label[neutral] = 0
         out[s:s + chunk] = label
+
+        if return_metadata:
+            sl = slice(s, s + len(cs))
+            # RiskRewardRatio uses longResult only when label == 1, else the
+            # SHORT result (including label 0) — LabelGenerator.cs:271
+            rr_p = np.where(label == 1, lp, sp)
+            rr_m = np.where(label == 1, lmae, smae)
+            with np.errstate(all="ignore"):
+                rr = np.where(rr_m > 0, rr_p / rr_m,
+                              np.where(rr_p > 0, 10.0, 0.0))
+            z = ~neutral
+            meta["confidence"][sl] = np.where(z, np.minimum(1.0, conf), 0.0)
+            meta["long_profit_pips"][sl] = np.where(z, lp, 0.0)
+            meta["short_profit_pips"][sl] = np.where(z, sp, 0.0)
+            meta["mae_pips"][sl] = np.where(z, np.maximum(lmae, smae), 0.0)
+            meta["mfe_pips"][sl] = np.where(z, np.maximum(lmfe, smfe), 0.0)
+            meta["time_to_target"][sl] = np.where(
+                label == 1, lexit, np.where(label == -1, sexit, 0)).astype("int32")
+            meta["risk_reward"][sl] = np.where(z, rr, 0.0)
+            meta["quality_score"][sl] = np.where(z, np.maximum(lq, sq), 0.0)
+    if return_metadata:
+        order = ["confidence", "long_profit_pips", "short_profit_pips",
+                 "mae_pips", "mfe_pips", "time_to_target", "risk_reward",
+                 "quality_score"]
+        return pd.DataFrame({"label": out, **{k: meta[k] for k in order}})
     return out
 
 
 def labels_for_source(emissions: pd.DataFrame, ticks: pd.DataFrame,
-                      cfg: LabelConfig | None = None) -> pd.DataFrame:
-    """emissions: (ts_us, completion_seq); ticks: (seq, bid, ask) one source."""
+                      cfg: LabelConfig | None = None,
+                      with_metadata: bool = False) -> pd.DataFrame:
+    """emissions: (ts_us, completion_seq); ticks: (seq, bid, ask) one source.
+    with_metadata adds the full LabelResult fields next to the label."""
     t = ticks.sort_values("seq")
-    labels = compute_labels(
+    res = compute_labels(
         emissions["completion_seq"].to_numpy("int64"),
-        t["bid"].to_numpy("float64"), t["ask"].to_numpy("float64"), cfg)
+        t["bid"].to_numpy("float64"), t["ask"].to_numpy("float64"), cfg,
+        return_metadata=with_metadata)
+    if with_metadata:
+        res.insert(0, "ts_us", emissions["ts_us"].to_numpy("int64"))
+        return res
     return pd.DataFrame({"ts_us": emissions["ts_us"].to_numpy("int64"),
-                         "label": labels})
+                         "label": res})

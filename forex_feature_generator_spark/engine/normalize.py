@@ -19,9 +19,31 @@ from ..oracle.pipeline import FEATURE_NAMES
 from ..oracle.stats import normalization_type
 
 
-def compute_stats(df: DataFrame, feature_cols: list[str] | None = None) -> pd.DataFrame:
-    """Returns the stats table (feature,count,mean,stddev,min,max,q1,median,q3,iqr)."""
+EXACT_QUANTILE_MAX_ROWS = 20_000_000
+APPROX_PERCENTILE_ACCURACY = 10_000   # max rank error = count/accuracy
+
+
+def compute_stats(df: DataFrame, feature_cols: list[str] | None = None,
+                  exact_quantiles: bool | None = None) -> pd.DataFrame:
+    """Returns the stats table (feature,count,mean,stddev,min,max,q1,median,q3,iqr).
+
+    Quantiles: exact `percentile` by default at test scale (deterministic —
+    the reference's 10k reservoir is nondeterministic, documented deviation),
+    but exact percentiles sort every feature column; above
+    EXACT_QUANTILE_MAX_ROWS the size gate switches to `approx_percentile`
+    (t-digest-style sketch, mergeable map-side, rank error <=
+    count/APPROX_PERCENTILE_ACCURACY). Pass exact_quantiles explicitly to
+    override the gate."""
     cols = feature_cols or FEATURE_NAMES
+    if exact_quantiles is None:
+        exact_quantiles = df.count() <= EXACT_QUANTILE_MAX_ROWS
+    if exact_quantiles:
+        def q_agg(finite):
+            return F.percentile(finite, F.lit([0.25, 0.5, 0.75]))
+    else:
+        def q_agg(finite):
+            return F.approx_percentile(finite, F.lit([0.25, 0.5, 0.75]),
+                                       F.lit(APPROX_PERCENTILE_ACCURACY))
     aggs = []
     for c in cols:
         col = F.col(f"`{c}`")
@@ -32,7 +54,7 @@ def compute_stats(df: DataFrame, feature_cols: list[str] | None = None) -> pd.Da
             F.stddev_samp(finite).alias(f"{c}__stddev"),
             F.min(finite).alias(f"{c}__min"),
             F.max(finite).alias(f"{c}__max"),
-            F.percentile(finite, F.lit([0.25, 0.5, 0.75])).alias(f"{c}__q"),
+            q_agg(finite).alias(f"{c}__q"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
     out = []

@@ -110,6 +110,46 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     return features.select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp")
 
 
+LABEL_META_SCHEMA = (
+    "source string, ts_us long, label int, confidence double, "
+    "long_profit_pips double, short_profit_pips double, mae_pips double, "
+    "mfe_pips double, time_to_target int, risk_reward double, "
+    "quality_score double")
+
+
+def label_table(spark: SparkSession, ticks: DataFrame,
+                warmup_bars: int = WARMUP_BARS,
+                label_cfg: LabelConfig | None = None,
+                with_metadata: bool = True) -> DataFrame:
+    """Standalone label surface: (source, ts_us, label [, LabelResult
+    metadata]) — the full LabelGenerator.cs:17-27 output (confidence,
+    per-side profit pips, MAE/MFE, time-to-target, risk-reward, quality),
+    which the reference computes but never persists (Program.cs:323).
+    Same cogroup shape as run_pipeline's label stage."""
+    cfg = label_cfg or LabelConfig()
+    if "seq" not in ticks.columns:
+        ticks = ebars.with_seq(ticks)
+    m1 = ebars.aggregate_bars(ebars.with_tick_direction(ticks), 1)
+    emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
+                 .select("source", F.col("bar_ts_us").alias("ts_us"),
+                         "completion_seq"))
+
+    def fn(key, emissions_pdf, ticks_pdf):
+        if emissions_pdf.empty or ticks_pdf.empty:
+            return pd.DataFrame(columns=[
+                c.split()[0] for c in LABEL_META_SCHEMA.split(", ")])
+        out = labels_for_source(emissions_pdf, ticks_pdf, cfg,
+                                with_metadata=True)
+        out.insert(0, "source", key[0])
+        return out
+
+    schema = LABEL_META_SCHEMA if with_metadata else LABELS_SCHEMA
+    fun = fn if with_metadata else _labels_fn(cfg)
+    return (emissions.groupBy("source")
+            .cogroup(ticks.select("source", "seq", "bid", "ask").groupBy("source"))
+            .applyInPandas(fun, schema=schema))
+
+
 # FeatureConfiguration equivalent (SURVEY §2.10): calculator enable/disable
 # maps to column selection — the vectorized kernel computes the full vector
 # (its intermediates are shared across calculators, so per-calculator skipping

@@ -122,6 +122,57 @@ def quality_score(r: TrailingStopResult) -> float:
     return profit_score * 0.5 + risk_score * 0.3 + time_score * 0.2
 
 
+def generate_label_result(cfg: LabelConfig, entry_bid: float, entry_ask: float,
+                          fut_bid, fut_ask) -> dict:
+    """Full LabelResult surface (LabelGenerator.cs:17-27 + DetermineLabel
+    cs:242-272): label plus confidence, per-side profit pips, MAE/MFE maxima,
+    time-to-target of the chosen side, risk-reward (long side only when
+    label == 1, otherwise the SHORT result — cs:271 faithful quirk), and the
+    max quality score. Fewer than 10 future ticks -> CreateNeutralResult
+    (all fields zero, cs:296-303)."""
+    zero = {"label": 0, "confidence": 0.0, "long_profit_pips": 0.0,
+            "short_profit_pips": 0.0, "mae_pips": 0.0, "mfe_pips": 0.0,
+            "time_to_target": 0, "risk_reward": 0.0, "quality_score": 0.0}
+    if fut_bid is None or len(fut_bid) < 10:
+        return zero
+
+    k = min(len(fut_bid), cfg.max_future_ticks)
+    fb, fa = fut_bid[:k], fut_ask[:k]
+    spread_pips = (entry_ask - entry_bid) / PIP
+    sl_pips = (cfg.stop_loss_pips if cfg.stop_loss_pips > 0.0
+               else max(DEFAULT_MIN_SL_PIPS,
+                        max(cfg.distance_pips, spread_pips * DEFAULT_SPREAD_MULT)))
+    lr = simulate_trailing_stop(entry_bid, entry_ask, fb, fa,
+                                cfg.trigger_pips, cfg.distance_pips, sl_pips, True)
+    sr = simulate_trailing_stop(entry_bid, entry_ask, fb, fa,
+                                cfg.trigger_pips, cfg.distance_pips, sl_pips, False)
+    lq, sq = quality_score(lr), quality_score(sr)
+    confidence = abs(lq - sq)
+    label = 0
+    if confidence >= cfg.min_confidence:
+        if lq > sq and lq >= cfg.min_score:
+            label = 1
+        elif sq > lq and sq >= cfg.min_score:
+            label = -1
+    rr_side = lr if label == 1 else sr
+    if rr_side.mae_pips <= 0:
+        rr = 10.0 if rr_side.profit_pips > 0 else 0.0
+    else:
+        rr = rr_side.profit_pips / rr_side.mae_pips
+    return {
+        "label": label,
+        "confidence": min(1.0, confidence),
+        "long_profit_pips": lr.profit_pips,
+        "short_profit_pips": sr.profit_pips,
+        "mae_pips": max(lr.mae_pips, sr.mae_pips),
+        "mfe_pips": max(lr.mfe_pips, sr.mfe_pips),
+        "time_to_target": (lr.time_to_exit if label == 1
+                           else sr.time_to_exit if label == -1 else 0),
+        "risk_reward": rr,
+        "quality_score": max(lq, sq),
+    }
+
+
 def generate_label(cfg: LabelConfig, entry_bid: float, entry_ask: float,
                    fut_bid, fut_ask) -> int:
     """Returns the persisted label only (Program.cs:323 persists just Label)."""

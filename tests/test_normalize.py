@@ -35,4 +35,15 @@ def test_stats_and_normalize(spark, small_ticks):
     # label/timestamp copied untouched
     assert (got_norm["label"].to_numpy() == exp_norm["label"].to_numpy()).all()
     assert (got_norm["timestamp"].to_numpy() == exp_norm["timestamp"].to_numpy()).all()
+
+    # the 100-TB size gate: the approx_percentile path must agree within the
+    # sketch's rank-error bound and drive normalization end-to-end
+    apx = enorm.compute_stats(
+        out, exact_quantiles=False).set_index("feature")
+    for c in feature_cols:
+        lo, hi = ost.loc[c, "min"], ost.loc[c, "max"]
+        span = max(hi - lo, 1e-12)
+        for k in ("q1", "median", "q3"):
+            assert abs(apx.loc[c, k] - ost.loc[c, k]) <= 0.05 * span, (c, k)
+    assert enorm.normalize(out, apx.reset_index()).count() == out.count()
     out.unpersist()

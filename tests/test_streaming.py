@@ -44,3 +44,55 @@ def test_streaming_bars_match_batch(spark, tmp_path, small_ticks):
                                   merged["tick_volume_b"].to_numpy())
     np.testing.assert_allclose(merged["avg_spread"], merged["avg_spread_b"],
                                rtol=1e-12)
+
+
+def test_streaming_bars_stateful_exact_parity(spark, tmp_path, small_ticks):
+    """applyInPandasWithState bars == batch bars EXACTLY, including up/down
+    tick direction across bar AND micro-batch boundaries (the batch drops the
+    final never-completed bar; the stateful stream holds it in state — same
+    emitted set)."""
+    import os
+    import pandas as pd
+
+    src_dir = tmp_path / "ticks_in"
+    src_dir.mkdir()
+    # 3 time-ordered files -> 3 micro-batches (maxFilesPerTrigger=1), so bars
+    # and direction spans cross batch boundaries mid-bar
+    ordered = small_ticks.sort_values("ts").reset_index(drop=True)
+    cuts = [0, len(ordered) // 3, 2 * len(ordered) // 3, len(ordered)]
+    for i in range(3):
+        part = ordered.iloc[cuts[i]:cuts[i + 1]]
+        path = str(src_dir / f"part{i}.parquet")
+        part.to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    sdf = spark.createDataFrame(small_ticks)
+    schema = spark.createDataFrame(ordered).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_bars_stateful)
+    out_dir = str(tmp_path / "bars_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = (streaming_bars_stateful(stream, 1)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.read.parquet(out_dir)
+           .orderBy("source", "bar_ts_us").toPandas().reset_index(drop=True))
+    batch = (ebars.aggregate_bars(ebars.with_tick_direction(
+                 ebars.with_seq(sdf)), 1)
+             .select("source", "bar_ts_us", "open", "high", "low", "close",
+                     "tick_volume", "up", "down", "avg_spread", "max_spread",
+                     "min_spread")
+             .orderBy("source", "bar_ts_us").toPandas().reset_index(drop=True))
+    assert len(got) == len(batch) > 50
+    for c in ("source", "bar_ts_us", "open", "high", "low", "close",
+              "tick_volume", "up", "down"):
+        np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy(),
+                                      err_msg=c)
+    for c in ("avg_spread", "max_spread", "min_spread"):
+        np.testing.assert_allclose(got[c], batch[c], rtol=1e-12, err_msg=c)
