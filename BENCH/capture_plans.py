@@ -8,7 +8,13 @@ For each plan we check the properties that matter at 100 TB:
   * the normalization select is a single ProjectExec inside
     WholeStageCodegen (no shuffle, stats folded to literals)
   * the as-of join is window-based (no nested-loop / row explosion)
-  * the label join is a BroadcastHashJoin (150-col side never shuffled)
+  * labels are FUSED into the feature cogroup: the narrow bars ⋈ labels join
+    happens before the kernel, so NO broadcast of the unbounded label side
+    and no shuffle of the 150-column output
+  * the halo-chunked replication joins are bucketed equi-joins (no
+    per-source fan-out, no driver materialization of the bounds)
+  * embedding near-dup candidates come from an LSH bucket self-join
+    (no CartesianProduct, no full-corpus broadcast)
 
 Run: python BENCH/capture_plans.py
 """
@@ -84,14 +90,45 @@ def main() -> None:
         "ASOF JOIN.",
         explain_str(asof)))
 
-    # 4. feature pipeline end-to-end plan (broadcast label join)
+    # 4. feature pipeline end-to-end plan (label fusion — no broadcast)
     out = epipe.run_pipeline(spark, ticks, cache_ticks=False)
+    plan4 = explain_str(out, max_lines=80)
+    assert "BroadcastExchange" not in plan4, "label side must not be broadcast"
     sections.append((
-        "Feature pipeline (cogroup kernels + broadcast label join)",
-        "FlatMapCoGroupsInPandas for the feature and label kernels; the final "
-        "join is BroadcastHashJoin with the 3-column label side broadcast — "
-        "the 150-column feature side is never re-shuffled.",
-        explain_str(out, max_lines=80)))
+        "Feature pipeline (labels fused into the feature cogroup)",
+        "FlatMapCoGroupsInPandas for the label kernel feeds a NARROW "
+        "bars ⋈ labels sort-merge join (both sides one-row-per-bar), then the "
+        "feature cogroup passes the label through — no BroadcastExchange "
+        "anywhere (the label side is unbounded at 100 TB) and the 150-column "
+        "output is never shuffled.",
+        plan4))
+
+    # 4b. halo-chunked pipeline: bucketed replication joins
+    from forex_feature_generator_spark.engine import skew as eskew
+    outc = eskew.run_pipeline_salted(spark, ticks, chunk_bars=500)
+    plan4b = explain_str(outc, max_lines=90)
+    assert "CartesianProduct" not in plan4b
+    sections.append((
+        "Halo-chunked pipeline (bucketed range-replication)",
+        "Every replication join is an equi-join on (source, bucket) against "
+        "the exploded chunk-bounds ranges — O(1) candidate ranges per row "
+        "regardless of chunks-per-source, bounds stay distributed (no "
+        "toPandas), and the only broadcast is the tiny exploded bounds table.",
+        plan4b))
+
+    # 4c. embedding near-dup: LSH bucket self-join, no cartesian product
+    from forex_feature_generator_spark.ops import similarity as SIM
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    nd = SIM.embedding_near_dups_lsh(emb, dim=64, threshold=0.35)
+    plan4c = explain_str(nd, max_lines=60)
+    assert "CartesianProduct" not in plan4c
+    assert "BroadcastNestedLoop" not in plan4c
+    sections.append((
+        "Embedding near-dup (banded LSH candidates + exact rerank)",
+        "Candidates come from a bucket self-join on (band, band_hash); the "
+        "distinct runs on narrow id pairs and vectors are re-attached "
+        "afterwards — no CartesianProduct, no full-corpus broadcast.",
+        plan4c))
 
     # 5. normalization — single codegen stage
     stats = enorm.compute_stats(out.limit(50))

@@ -31,8 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 US_PER_MIN = 60_000_000
 
@@ -167,6 +167,120 @@ def streaming_bars(ticks: DataFrame, tf_minutes: int,
                 "open", "high", "low", "close", "tick_volume",
                 "avg_spread", "max_spread", "min_spread")
     )
+
+
+LABEL_OUT_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("ts_us", LongType()),
+    StructField("label", LongType()),
+])
+
+# bar clock (last bar_ts, completed-bar count), global tick counter, the
+# bounded tick tail (from the oldest unresolved emission onward), and the
+# pending emissions (bar ts + entry-tick seq). Buffer length is bounded by
+# 600 + emission spacing — the streaming analogue of the reference's
+# bounded lookahead (Program.cs:260-263).
+_LABEL_STATE_SCHEMA = StructType([
+    StructField("last_bar_ts", LongType()),
+    StructField("bars_done", LongType()),
+    StructField("tick_count", LongType()),
+    StructField("buf_start", LongType()),
+    StructField("buf_bid", ArrayType(DoubleType())),
+    StructField("buf_ask", ArrayType(DoubleType())),
+    StructField("pend_ts", ArrayType(LongType())),
+    StructField("pend_seq", ArrayType(LongType())),
+])
+
+
+def streaming_labels_stateful(ticks: DataFrame, tf_minutes: int = 1,
+                              warmup_bars: int = 260,
+                              label_cfg=None) -> DataFrame:
+    """Streaming 600-tick-lookahead labels (SURVEY §2.9.4): per source the
+    state carries the bar clock, the pending emissions (a bar completion past
+    warm-up), and a bounded tick tail; an emission's label is finalized —
+    with the SAME vectorized kernel as the batch path — the moment 600 ticks
+    exist after its entry tick. Emissions whose full window never arrives
+    stay pending (a bounded stream's tail is finished by the batch path; the
+    batch computes those with a truncated window, which a stream cannot know
+    is final). Use outputMode('append')."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from ..oracle.labels import LabelConfig
+    from .labels import compute_labels
+
+    cfg = label_cfg or LabelConfig()
+    tf_us = tf_minutes * US_PER_MIN
+    need = cfg.max_future_ticks
+
+    def fn(key, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("ts")
+        us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        bid = pdf["bid"].to_numpy("float64")
+        ask = pdf["ask"].to_numpy("float64")
+        bar_ts = us - us % tf_us
+        n = len(bid)
+
+        if state.exists:
+            (last_bar_ts, bars_done, tick_count, buf_start,
+             buf_bid, buf_ask, pend_ts, pend_seq) = state.get
+            buf_bid, buf_ask = list(buf_bid), list(buf_ask)
+            pend_ts, pend_seq = list(pend_ts), list(pend_seq)
+        else:
+            last_bar_ts, bars_done, tick_count, buf_start = -1, 0, 0, 0
+            buf_bid, buf_ask, pend_ts, pend_seq = [], [], [], []
+
+        # bar completions: a tick whose bar_ts differs from the previous
+        # tick's completes the previous bar (BarAggregator.cs:39-56)
+        prev_bts = np.concatenate([[last_bar_ts], bar_ts[:-1]])
+        for i in np.flatnonzero((bar_ts != prev_bts) & (prev_bts >= 0)):
+            bar_index = bars_done
+            bars_done += 1
+            if bar_index >= warmup_bars:
+                pend_ts.append(int(prev_bts[i]))
+                pend_seq.append(int(tick_count + i))   # entry = completing tick
+        last_bar_ts = int(bar_ts[-1])
+
+        buf_bid.extend(bid.tolist())
+        buf_ask.extend(ask.tolist())
+        tick_count += n
+
+        # finalize every pending emission with a full forward window
+        resolved = [j for j, s in enumerate(pend_seq)
+                    if tick_count - 1 - s >= need]
+        out = None
+        if resolved:
+            bb = np.asarray(buf_bid)
+            ba = np.asarray(buf_ask)
+            cs = np.asarray([pend_seq[j] - buf_start for j in resolved],
+                            dtype="int64")
+            labels = compute_labels(cs, bb, ba, cfg)
+            out = pd.DataFrame({
+                "source": key[0],
+                "ts_us": np.asarray([pend_ts[j] for j in resolved], "int64"),
+                "label": labels.astype("int64")})
+            keep = [j for j in range(len(pend_seq)) if j not in set(resolved)]
+            pend_ts = [pend_ts[j] for j in keep]
+            pend_seq = [pend_seq[j] for j in keep]
+
+        # trim the tail to the oldest unresolved entry (bounded state)
+        new_start = min(pend_seq) if pend_seq else tick_count
+        cut = new_start - buf_start
+        if cut > 0:
+            buf_bid = buf_bid[cut:]
+            buf_ask = buf_ask[cut:]
+            buf_start = new_start
+
+        state.update((last_bar_ts, bars_done, tick_count, buf_start,
+                      buf_bid, buf_ask, pend_ts, pend_seq))
+        if out is not None:
+            yield out
+
+    return (ticks.groupBy("source")
+            .applyInPandasWithState(fn, LABEL_OUT_SCHEMA, _LABEL_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
 
 
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",

@@ -61,13 +61,11 @@ def main() -> None:
     elif args.input:
         if args.input_format == "csv":
             # reference CSV shape Timestamp,Bid,Ask (TickLoader.cs:92-115);
-            # malformed rows dropped, comment lines skipped
-            raw = (spark.read.option("header", True).option("mode", "DROPMALFORMED")
-                   .schema("ts timestamp, bid double, ask double")
-                   .csv(args.input))
-            from pyspark.sql import functions as F
-            ticks = (raw.filter(~F.col("ts").cast("string").startswith("#"))
-                     .withColumn("source", F.lit("default")))
+            # malformed rows dropped + counted, comment/blank lines skipped
+            from forex_feature_generator_spark.engine import tick_source
+            ticks = tick_source.load_ticks_csv(spark, args.input)
+            diag = tick_source.csv_diagnostics(spark, args.input)
+            print(json.dumps({"csv_source": diag}))
         else:
             ticks = spark.read.parquet(args.input)
     else:
@@ -89,8 +87,14 @@ def main() -> None:
             # default: bounded memory per task regardless of source skew
             out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=args.chunk_bars)
         out.write.mode("overwrite").partitionBy("source").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        if args.normalize:
+        try:
+            n = spark.read.parquet(args.output).count()
+        except Exception:
+            # inputs shorter than the 260-bar warm-up emit nothing: the
+            # partitioned dir has no files and the re-read cannot infer a
+            # schema — an empty result, not an error
+            n = 0
+        if args.normalize and n:
             feats = spark.read.parquet(args.output)
             st = enorm.compute_stats(feats)
             st.to_csv(args.output.rstrip("/") + "_statistics.csv", index=False)

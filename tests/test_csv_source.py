@@ -1,0 +1,103 @@
+"""CSV source parity vs a line-faithful Python transcription of
+Pipeline/TickLoader.cs:30-115 (header drop, blank/# skip, per-field parse,
+malformed drop + count)."""
+
+from datetime import datetime
+
+import pandas as pd
+
+from forex_feature_generator_spark.engine import tick_source
+
+CSV = """Timestamp,Bid,Ask
+2024-01-02 00:00:00,1.10000,1.10010
+# a comment line that must be skipped
+2024-01-02 00:00:01,1.10002,1.10012
+not-a-date,1.1,1.2
+2024-01-02 00:00:02,oops,1.10013
+
+2024-01-02 00:00:03,1.10004
+2024-01-02 00:00:04 , 1.10005 , 1.10015
+#another comment
+2024-01-02 00:00:05,1.10006,1.10016
+"""
+
+
+def _tickloader_reference(text: str):
+    """TickLoader.cs transcription: returns (kept_rows, malformed_count)."""
+    lines = text.split("\n")
+    kept, malformed = [], 0
+    for i, line in enumerate(lines):
+        if i == 0:
+            continue                      # header dropped (cs:37-41)
+        if not line.strip() or line.startswith("#"):
+            continue                      # blank/comment skip (cs:48-50)
+        i1 = line.find(",")
+        ok = i1 > 0
+        if ok:
+            rest = line[i1 + 1:]
+            i2 = rest.find(",")
+            ok = i2 > 0
+        if ok:
+            ts_s, bid_s, ask_s = (line[:i1].strip(), rest[:i2].strip(),
+                                  rest[i2 + 1:].strip())
+            try:
+                ts = datetime.fromisoformat(ts_s)
+                bid, ask = float(bid_s), float(ask_s)
+                kept.append((ts, bid, ask))
+                continue
+            except ValueError:
+                pass
+        malformed += 1                    # cs:63 warn-and-drop
+    return kept, malformed
+
+
+def test_csv_source_matches_tickloader(spark, tmp_path):
+    path = str(tmp_path / "ticks.csv")
+    with open(path, "w") as f:
+        f.write(CSV)
+
+    exp_rows, exp_malformed = _tickloader_reference(CSV)
+    got = (tick_source.load_ticks_csv(spark, path)
+           .orderBy("ts").toPandas())
+    diag = tick_source.csv_diagnostics(spark, path)
+
+    assert len(got) == len(exp_rows) == 4
+    assert diag["malformed"] == exp_malformed == 3
+    assert diag["ticks"] == 4
+    assert diag["lines"] == 7             # data lines seen (no header/comment/blank)
+    exp = pd.DataFrame(exp_rows, columns=["ts", "bid", "ask"]).sort_values("ts")
+    assert (got["ts"].to_numpy("datetime64[us]")
+            == exp["ts"].to_numpy("datetime64[us]")).all()
+    assert (got["bid"].to_numpy() == exp["bid"].to_numpy()).all()
+    assert (got["ask"].to_numpy() == exp["ask"].to_numpy()).all()
+    assert (got["source"] == "default").all()
+
+
+def test_csv_source_feeds_pipeline(spark, tmp_path):
+    """Round-trip: a reference-shaped CSV drives the bar aggregation."""
+    from forex_feature_generator_spark import synth
+    from forex_feature_generator_spark.engine import bars as ebars
+    ticks = synth.gen_ticks(n_sources=1, ticks_per_source=3000,
+                            hot_sources=0, seed=4)
+    path = str(tmp_path / "full.csv")
+    pdf = ticks[["ts", "bid", "ask"]].copy()
+    with open(path, "w") as f:
+        f.write("Timestamp,Bid,Ask\n")
+        f.write("# generated corpus\n")
+        for r in pdf.itertuples(index=False):
+            f.write(f"{r.ts},{r.bid},{r.ask}\n")
+        f.write("garbage,line,here,extra\n")
+    loaded = tick_source.load_ticks_csv(spark, path)
+    assert loaded.count() == 3000
+    bars = ebars.aggregate_bars(
+        ebars.with_tick_direction(ebars.with_seq(loaded)), 1)
+    ref_bars = ebars.aggregate_bars(
+        ebars.with_tick_direction(ebars.with_seq(
+            spark.createDataFrame(ticks).drop("source")
+            .withColumn("source", __import__("pyspark.sql.functions",
+                                             fromlist=["lit"]).lit("default")))), 1)
+    a = bars.orderBy("bar_ts_us").toPandas()
+    b = ref_bars.orderBy("bar_ts_us").toPandas()
+    assert len(a) == len(b) > 10
+    assert (a["close"].to_numpy() == b["close"].to_numpy()).all()
+    assert (a["up"].to_numpy() == b["up"].to_numpy()).all()

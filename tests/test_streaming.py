@@ -96,3 +96,54 @@ def test_streaming_bars_stateful_exact_parity(spark, tmp_path, small_ticks):
                                       err_msg=c)
     for c in ("avg_spread", "max_spread", "min_spread"):
         np.testing.assert_allclose(got[c], batch[c], rtol=1e-12, err_msg=c)
+
+
+def test_streaming_labels_match_batch(spark, tmp_path, small_ticks):
+    """Streaming 600-tick-lookahead labels == batch labels for every
+    emission whose full forward window exists (the streamed set); the batch
+    tail (truncated windows) stays pending by design."""
+    import os
+    from pyspark.sql import functions as F
+    from forex_feature_generator_spark.engine import pipeline as epipe
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_labels_stateful)
+
+    src_dir = tmp_path / "ticks_lab"
+    src_dir.mkdir()
+    ordered = small_ticks.sort_values("ts").reset_index(drop=True)
+    cuts = [0, len(ordered) // 3, 2 * len(ordered) // 3, len(ordered)]
+    for i in range(3):
+        path = str(src_dir / f"part{i}.parquet")
+        ordered.iloc[cuts[i]:cuts[i + 1]].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    sdf = spark.createDataFrame(small_ticks)
+    schema = spark.createDataFrame(ordered).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    out_dir = str(tmp_path / "labels_out")
+    q = (streaming_labels_stateful(stream, 1)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt_lab"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = (spark.read.parquet(out_dir)
+           .orderBy("source", "ts_us").toPandas())
+
+    batch = (epipe.run_pipeline(spark, sdf)
+             .select("source", "ts_us", "label")
+             .orderBy("source", "ts_us").toPandas())
+    # the streamed set = emissions with >= 600 ticks after the entry tick
+    m1 = ebars.aggregate_bars(
+        ebars.with_tick_direction(ebars.with_seq(sdf)), 1)
+    counts = sdf.groupBy("source").count()
+    full_win = (m1.filter(F.col("bar_index") >= 260).join(counts, "source")
+                .filter(F.col("count") - 1 - F.col("completion_seq") >= 600)
+                .select("source", F.col("bar_ts_us").alias("ts_us"))
+                .orderBy("source", "ts_us").toPandas())
+    assert len(got) == len(full_win) > 100
+    assert (got["ts_us"].to_numpy() == full_win["ts_us"].to_numpy()).all()
+    merged = got.merge(batch, on=["source", "ts_us"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["label_s"].to_numpy() == merged["label_b"].to_numpy()).all()
