@@ -828,6 +828,156 @@ GROUP BY n_name
 """
 
 
+def q29_ann_lsh(spark, sf_dir):
+    """Approximate top-k ANN via hyperplane-LSH bands + exact rerank (the
+    scale path behind q18's exact baseline); the oracle mirrors the same
+    plane literals, so candidate sets and ranks match exactly."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries_df, dim=64, k=5, n_planes=16, n_bands=4)
+
+
+def _sql_q29() -> str:
+    from forex_feature_generator_spark.ops.similarity import hyperplanes
+    planes = hyperplanes(64, 16)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, [{','.join(repr(x) for x in p)}]::DOUBLE[]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sigs AS (SELECT vec_id, ({sig_terms})::BIGINT AS sig FROM v),
+banded AS (
+  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bh
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded c JOIN banded q ON c.band = q.band AND c.bh = q.bh
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.ev, b.ev)
+           / (sqrt(list_dot_product(a.ev, a.ev))
+              * sqrt(list_dot_product(b.ev, b.ev))) AS cosine
+  FROM cand JOIN v a ON a.vec_id = cand.query_id
+            JOIN v b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q30_hash_split(spark, sf_dir):
+    """Stable train/val/test split by hashed doc id (ops/sampling.py):
+    adding rows never reassigns old ones — the incremental-pipeline
+    property."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    return SMP.hash_split(docs).select("doc_id", "split")
+
+
+def _sql_hash(seed: int = 42) -> str:
+    h15 = _hex2int_sql(f"md5('{seed}:' || doc_id::VARCHAR)[1:15]", 15)
+    return f"({h15} % 1000000)"
+
+
+SQL_Q30 = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_hash()} < 900000 THEN 'train'
+            WHEN {_sql_hash()} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q31_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (keep 50% of 'en', 25% of
+    'de', drop the rest) — reproducible Bernoulli-by-hash per language."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    return (SMP.stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25})
+            .select("doc_id", "lang"))
+
+
+SQL_Q31 = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {_sql_hash()} < 500000)
+   OR (lang = 'de' AND {_sql_hash()} < 250000)
+"""
+
+
+def q32_pii_scrub(spark, sf_dir):
+    """Email/URL redaction + counts; the cleaned text is hashed so the
+    oracle verifies the full transform without shipping wide strings."""
+    docs = _load(spark, sf_dir, "documents")
+    return (TXT.pii_scrub(docs)
+            .select("doc_id", "n_emails", "n_urls",
+                    F.md5("text_clean").alias("clean_md5")))
+
+
+SQL_Q32 = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TXT.EMAIL_RE}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{TXT.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{TXT.URL_RE}'))::BIGINT AS n_urls,
+       md5(regexp_replace(t1, '{TXT.URL_RE}', '<URL>', 'g')) AS clean_md5
+FROM s
+"""
+
+
+def q33_top_ngrams(spark, sf_dir):
+    """Corpus top-20 word 3-grams (vocabulary/statistics pass): one
+    partial-aggregated count shuffle + deterministic total tie-break."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.top_ngrams(docs, n=3, k=20)
+
+
+SQL_Q33 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+  FROM w)
+SELECT shingle, count(*) AS n_docs
+FROM sh GROUP BY shingle
+ORDER BY n_docs DESC, shingle ASC LIMIT 20
+"""
+
+
+def q34_pack_sequences(spark, sf_dir):
+    """Concatenation-split packing plan for fixed-length training sequences
+    (engine/tokens.py::pack_sequences over the documents table, n_chars as
+    the length): pack_id/pack_offset from one window cumsum per source."""
+    from forex_feature_generator_spark.engine.tokens import pack_sequences
+    docs = _load(spark, sf_dir, "documents")
+    return (pack_sequences(docs, seq_len=4096, tok_col="n_chars",
+                           order_col="doc_id", group_cols=["source"])
+            .select("doc_id", "source", "pack_id", "pack_offset"))
+
+
+SQL_Q34 = """
+WITH t AS (
+  SELECT doc_id, source,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM documents)
+SELECT doc_id, source, (off // 4096)::BIGINT AS pack_id,
+       (off % 4096)::BIGINT AS pack_offset
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tumbling_ohlc": q01_tumbling_ohlc,
@@ -858,6 +1008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_stats": q26_embedding_stats,
         "q27_join_agg": q27_join_agg,
         "q28_embedding_dedup": q28_embedding_dedup,
+        "q29_ann_lsh": q29_ann_lsh,
+        "q30_hash_split": q30_hash_split,
+        "q31_stratified_sample": q31_stratified_sample,
+        "q32_pii_scrub": q32_pii_scrub,
+        "q33_top_ngrams": q33_top_ngrams,
+        "q34_pack_sequences": q34_pack_sequences,
     }
 
 
@@ -891,4 +1047,10 @@ def oracle_sql() -> dict[str, str]:
         "q26_embedding_stats": SQL_Q26,
         "q27_join_agg": SQL_Q27,
         "q28_embedding_dedup": _sql_q28(),
+        "q29_ann_lsh": _sql_q29(),
+        "q30_hash_split": SQL_Q30,
+        "q31_stratified_sample": SQL_Q31,
+        "q32_pii_scrub": SQL_Q32,
+        "q33_top_ngrams": SQL_Q33,
+        "q34_pack_sequences": SQL_Q34,
     }

@@ -92,6 +92,26 @@ def _derived_bars(seqs_series: DataFrame, tf_rows: int) -> DataFrame:
              .filter(F.col("completion_seq").isNotNull()))
 
 
+def pack_sequences(seqs: DataFrame, seq_len: int = 1024,
+                   tok_col: str = "n_tok", order_col: str = "doc_id",
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Concatenation-split packing plan for fixed-length training sequences:
+    documents are laid end-to-end in `order_col` order (per group), and each
+    doc is assigned the pack its FIRST token lands in — pack_id =
+    floor(offset / seq_len), pack_offset = offset % seq_len, where offset is
+    the exclusive running token sum. Pure window arithmetic (one shuffle per
+    group), identical in the DuckDB oracle; the actual byte movement happens
+    at write time from this plan."""
+    groups = group_cols if group_cols is not None else ["source"]
+    w = Window.partitionBy(*groups).orderBy(order_col)
+    offset = (F.coalesce(
+        F.sum(F.col(tok_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("long"))
+    return (seqs
+            .withColumn("pack_id", (offset / F.lit(seq_len)).cast("long"))
+            .withColumn("pack_offset", offset % F.lit(seq_len)))
+
+
 def full_features(seqs: DataFrame, warmup_bars: int = 260) -> DataFrame:
     """148 reference features over the derived bar series, joined back to the
     original rows; `tokens` byte-identical pass-through."""

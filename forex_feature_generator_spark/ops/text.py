@@ -75,6 +75,38 @@ def detect_language(docs: DataFrame, text_col: str = "text",
     return docs.withColumn(out_col, pred)
 
 
+# RE2-compatible patterns (work identically under Java regex in Spark and
+# RE2 in the DuckDB oracle — no backreferences/lookaround)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redacts emails then URLs (order matters: an email inside a URL query
+    string is already gone) and counts each; the cleaned text is the column a
+    training pipeline persists."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    cleaned = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_urls = F.size(F.regexp_extract_all(cleaned, F.lit(URL_RE), 0)).cast("long")
+    cleaned = F.regexp_replace(cleaned, URL_RE, "<URL>")
+    return (docs.withColumn("n_emails", n_emails)
+            .withColumn("n_urls", n_urls)
+            .withColumn("text_clean", cleaned))
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level top-k word n-grams: explode distinct-per-doc shingles ->
+    one partial-aggregated count shuffle -> global top-k with a total
+    tie-break (count desc, ngram asc) so the result is deterministic."""
+    from .dedup import shingles
+    sh = shingles(docs, text_col, id_col, n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (counts.orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+            .limit(k))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of the normalized text + a polynomial
     rolling hash of the word sequence (mod ROLL_P < 2^55 so acc*31 + h stays

@@ -1,0 +1,87 @@
+"""Deterministic sampling/splitting, PII scrub, and sequence packing."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from forex_feature_generator_spark.engine.tokens import pack_sequences
+from forex_feature_generator_spark.ops import sampling as SMP
+from forex_feature_generator_spark.ops import text as TXT
+
+
+def _docs(spark, n=400):
+    rows = [(i, f"doc number {i} body text", ["en", "de", "fr"][i % 3], f"s{i % 4}",
+             50 + (i * 37) % 400) for i in range(n)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+
+
+def test_hash_split_stable_and_proportional(spark):
+    docs = _docs(spark)
+    a = SMP.hash_split(docs).select("doc_id", "split").toPandas()
+    counts = a["split"].value_counts()
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts["train"] > 0.8 * len(a)
+    # stability: assignments are a pure function of (seed, id) — adding new
+    # rows must not move old ones
+    b = SMP.hash_split(docs.filter(F.col("doc_id") < 100)).select(
+        "doc_id", "split").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_full", "_subset"))
+    assert (merged["split_full"] == merged["split_subset"]).all()
+
+
+def test_deterministic_sample_nests(spark):
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in SMP.deterministic_sample(docs, 0.1).collect()}
+    s30 = {r.doc_id for r in SMP.deterministic_sample(docs, 0.3).collect()}
+    assert s10 <= s30                       # supersets nest by construction
+    assert 0.03 < len(s10) / 400 < 0.2
+    assert 0.18 < len(s30) / 400 < 0.45
+
+
+def test_stratified_sample_rates(spark):
+    docs = _docs(spark, n=900)
+    out = SMP.stratified_sample(docs, "lang", {"en": 1.0, "de": 0.5}).toPandas()
+    assert set(out["lang"]) <= {"en", "de"}     # fr dropped (rate 0)
+    n_en = (out["lang"] == "en").sum()
+    n_de = (out["lang"] == "de").sum()
+    assert n_en == 300                          # rate 1.0 keeps everything
+    assert 90 < n_de < 210                      # ~150 of 300
+
+
+def test_pii_scrub_planted(spark):
+    rows = [
+        (0, "contact alice.smith@example.com or visit https://example.com/x?a=1 now"),
+        (1, "no pii here at all"),
+        (2, "two mails: a@b.co and c.d@e.org plus http://plain.url"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TXT.pii_scrub(docs).orderBy("doc_id").toPandas()
+    assert list(out["n_emails"]) == [1, 0, 2]
+    assert list(out["n_urls"]) == [1, 0, 1]
+    assert out.loc[0, "text_clean"] == "contact <EMAIL> or visit <URL> now"
+    assert out.loc[2, "text_clean"] == "two mails: <EMAIL> and <EMAIL> plus <URL>"
+
+
+def test_top_ngrams_deterministic(spark):
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)]
+        + [(10, "the quick brown cat sits")],
+        columns=["doc_id", "text"]))
+    out = TXT.top_ngrams(docs, n=3, k=2).toPandas()
+    assert out.iloc[0]["shingle"] == "the quick brown"
+    assert out.iloc[0]["n_docs"] == 6
+
+
+def test_pack_sequences_arithmetic(spark):
+    rows = [(0, "s", 600), (1, "s", 600), (2, "s", 600), (3, "s", 600),
+            (10, "t", 1500)]
+    seqs = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "source", "n_tok"]))
+    out = (pack_sequences(seqs, seq_len=1024)
+           .orderBy("source", "doc_id").toPandas())
+    # source s offsets: 0, 600, 1200, 1800 -> packs 0, 0, 1, 1
+    assert list(out[out.source == "s"]["pack_id"]) == [0, 0, 1, 1]
+    assert list(out[out.source == "s"]["pack_offset"]) == [0, 600, 176, 776]
+    # each source starts its own packing at offset 0
+    assert list(out[out.source == "t"]["pack_id"]) == [0]
+    assert list(out[out.source == "t"]["pack_offset"]) == [0]
