@@ -46,3 +46,53 @@ class Instrument:
                 ms_acc.add(int((time.time() - t0) * 1000))
 
         self.df = df.mapInPandas(passthrough, schema=df.schema)
+
+
+def format_timespan(seconds: float) -> str:
+    """ProgressReporter.FormatTimeSpan (Utilities/ProgressReporter.cs:57-66):
+    negative -> 'calculating...', <1m -> 'Ss', <1h -> 'Mm Ss', else 'Hh Mm'."""
+    if seconds < 0:
+        return "calculating..."
+    s = int(seconds)
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60}s"
+    return f"{s // 3600}h {(s % 3600) // 60}m"
+
+
+class ProgressReporter:
+    """Driver-side percent/ETA ticks over a known item total — the surface
+    of Utilities/ProgressReporter.cs:13-55 (start line, every
+    `report_interval` percent a line with N/total, items/sec and ETA, and a
+    completion summary). Feed it from accumulator totals (Instrument) or a
+    streaming query's progress callbacks; `emit` defaults to print."""
+
+    def __init__(self, task_name: str, total_items: int,
+                 report_interval: int = 10, emit=print, clock=time.time):
+        self.task_name = task_name
+        self.total = max(1, total_items)
+        self.interval = report_interval
+        self.emit = emit
+        self.clock = clock
+        self.t0 = clock()
+        self.last_pct = 0
+        emit(f"  Starting: {task_name} ({total_items:,} items)")
+
+    def update(self, current_item: int) -> None:
+        pct = int((current_item + 1) * 100.0 / self.total)
+        if pct >= self.last_pct + self.interval or pct == 100:
+            self.last_pct = pct
+            elapsed = self.clock() - self.t0
+            done = current_item + 1
+            rate = done / elapsed if elapsed > 0 else float("inf")
+            remaining = self.total / rate - elapsed if rate > 0 else -1.0
+            self.emit(f"    {pct}% complete - {done:,}/{self.total:,} items - "
+                      f"{rate:.0f} items/sec - ETA: {format_timespan(remaining)}")
+
+    def complete(self) -> None:
+        total_time = self.clock() - self.t0
+        rate = self.total / total_time if total_time > 0 else float("inf")
+        self.emit(f"  ✓ Completed: {self.task_name}")
+        self.emit(f"    Total time: {format_timespan(total_time)} - "
+                  f"Average: {rate:.1f} items/sec")
