@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import run_pipeline
+from .skew import run_pipeline_salted
 
 
 class SnapshotLog:
@@ -74,9 +75,11 @@ class SnapshotLog:
 
 def run_resumable(spark: SparkSession, ticks: DataFrame, table_path: str,
                   batch_sources: int = 4, max_batches: int | None = None,
-                  inputs: str | None = None, **pipeline_kwargs) -> dict:
+                  inputs: str | None = None, chunked: bool = True,
+                  chunk_bars: int = 4000, **pipeline_kwargs) -> dict:
     """Process per-source partitions in batches, committing a snapshot (with
     lineage) after each batch. Re-running resumes from the latest snapshot.
+    Uses the halo-chunked pipeline by default (bounded memory per task).
     Returns {"snapshots": n, "skipped": [...], "processed": {...}}."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     log = SnapshotLog(table_path)
@@ -95,11 +98,21 @@ def run_resumable(spark: SparkSession, ticks: DataFrame, table_path: str,
         batch = todo[i:i + batch_sources]
         t0 = time.time()
         sub = ticks.filter(F.col("source").isin(batch))
-        result = run_pipeline(spark, sub, **pipeline_kwargs)
+        if chunked:
+            result = run_pipeline_salted(spark, sub, chunk_bars=chunk_bars,
+                                         **pipeline_kwargs)
+        else:
+            result = run_pipeline(spark, sub, **pipeline_kwargs)
         (result.write.mode("overwrite").partitionBy("source")
          .option("compression", "snappy").parquet(table_path))
+        # lineage counts from the just-written files (partition-pruned
+        # columnar scan) — re-counting `result` would recompute the whole
+        # pipeline a second time
         out_counts = {r["source"]: r["cnt"] for r in
-                      result.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+                      spark.read.parquet(table_path)
+                      .filter(F.col("source").isin(batch))
+                      .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+                      .collect()}
         elapsed_ms = int((time.time() - t0) * 1000)
         lineage = {s: {"rows_in": int(in_counts[s]),
                        "rows_out": int(out_counts.get(s, 0)),
