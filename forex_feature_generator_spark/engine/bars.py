@@ -43,18 +43,17 @@ def with_seq(ticks: DataFrame) -> DataFrame:
     return ticks.withColumn("seq", F.row_number().over(w) - F.lit(1))
 
 
-def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
-    """ticks_dir: output of with_tick_direction. Returns COMPLETED bars:
-    (source, bar_ts_us, open, high, low, close, tick_volume, up, down,
-     avg_spread, max_spread, min_spread, first_seq, completion_seq,
-     completion_ts_us, bar_index)."""
+def aggregate_bars_partial(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
+    """ALL bars including the final not-yet-completed one, carrying
+    spread_sum and first_ts_us so higher timeframes can be DERIVED from this
+    output (bars_from_lower) instead of re-scanning + re-shuffling the full
+    tick stream — the tick-sized pass happens once."""
     tf_us = tf_minutes * US_PER_MIN
     # cast: accepts both session-tz TIMESTAMP and parquet TIMESTAMP_NTZ
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bar_ts = (us - (us % F.lit(tf_us))).alias("bar_ts_us")
-
     spread = F.col("ask") - F.col("bid")
-    g = (
+    return (
         ticks_dir
         .withColumn("bar_ts_us", bar_ts)
         .groupBy("source", "bar_ts_us")
@@ -66,27 +65,80 @@ def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
             F.count(F.lit(1)).alias("tick_volume"),
             F.sum("up_tick").alias("up"),
             F.sum("down_tick").alias("down"),
-            F.avg(spread).alias("avg_spread"),
+            F.sum(spread).alias("spread_sum"),
             F.max(spread).alias("max_spread"),
             F.min(spread).alias("min_spread"),
             F.min("seq").alias("first_seq"),
             F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
         )
     )
+
+
+def bars_from_lower(partial: DataFrame, mult_minutes: int) -> DataFrame:
+    """Higher-timeframe PARTIAL bars aggregated from lower-timeframe partial
+    bars (e.g. M1 -> M5): exact for every field — the bucket's first/last
+    tick are the first/last lower bar's, extrema and sums compose, and
+    spread_sum re-aggregates losslessly. The tick stream is never touched."""
+    tf_us = mult_minutes * US_PER_MIN
+    bucket = (F.col("bar_ts_us") - (F.col("bar_ts_us") % F.lit(tf_us))).alias("bar_ts_us")
+    return (
+        partial
+        .select(F.col("source"), bucket, "open", "high", "low", "close",
+                "tick_volume", "up", "down", "spread_sum", "max_spread",
+                "min_spread", "first_seq", "first_ts_us")
+        .groupBy("source", "bar_ts_us")
+        .agg(
+            F.min_by("open", "first_seq").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "first_seq").alias("close"),
+            F.sum("tick_volume").alias("tick_volume"),
+            F.sum("up").alias("up"),
+            F.sum("down").alias("down"),
+            F.sum("spread_sum").alias("spread_sum"),
+            F.max("max_spread").alias("max_spread"),
+            F.min("min_spread").alias("min_spread"),
+            F.min("first_seq").alias("first_seq"),
+            F.min("first_ts_us").alias("first_ts_us"),
+        )
+    )
+
+
+def finish_bars(partial: DataFrame) -> DataFrame:
+    """Completion semantics over partial bars: a bar completes when a later
+    bar's first tick exists (BarAggregator.cs:39-56), so the final partial
+    bar per source is dropped; adds bar_index and the avg spread."""
     w = Window.partitionBy("source").orderBy("bar_ts_us")
-    g = (
-        g
+    return (
+        partial
+        .withColumn("avg_spread", F.col("spread_sum") / F.col("tick_volume"))
         .withColumn("completion_seq", F.lead("first_seq").over(w))
         .withColumn("completion_ts_us", F.lead("first_ts_us").over(w))
         .withColumn("bar_index", F.row_number().over(w) - F.lit(1))
-        # final partial bar never completes (BarAggregator.cs:39-56)
         .filter(F.col("completion_seq").isNotNull())
-        .drop("first_ts_us")
+        .drop("first_ts_us", "spread_sum")
     )
-    return g
+
+
+def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
+    """ticks_dir: output of with_tick_direction. Returns COMPLETED bars:
+    (source, bar_ts_us, open, high, low, close, tick_volume, up, down,
+     max_spread, min_spread, first_seq, avg_spread, completion_seq,
+     completion_ts_us, bar_index)."""
+    return finish_bars(aggregate_bars_partial(ticks_dir, tf_minutes))
 
 
 def build_bars(ticks: DataFrame, timeframes=(1, 5)) -> dict[int, DataFrame]:
-    """Both timeframes branch off one cached tick-direction DataFrame."""
+    """All timeframes branch off ONE tick-sized pass: the finest timeframe's
+    partial bars are aggregated once, coarser ones derive from them."""
     td = with_tick_direction(ticks)
-    return {tf: aggregate_bars(td, tf) for tf in timeframes}
+    base_tf = min(timeframes)
+    base = aggregate_bars_partial(td, base_tf)
+    out = {}
+    for tf in timeframes:
+        if tf == base_tf:
+            out[tf] = finish_bars(base)
+        else:
+            assert tf % base_tf == 0, (tf, base_tf)
+            out[tf] = finish_bars(bars_from_lower(base, tf))
+    return out

@@ -85,8 +85,12 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
         ticks = ticks.persist()
 
     td = ebars.with_tick_direction(ticks)
-    m1 = ebars.aggregate_bars(td, 1)
-    m5 = ebars.aggregate_bars(td, 5)
+    # one tick-sized pass: M5 derives from the partial M1 bars (exact field
+    # composition, engine/bars.py::bars_from_lower) instead of a second
+    # full-tick window + shuffle
+    base = ebars.aggregate_bars_partial(td, 1).persist()
+    m1 = ebars.finish_bars(base)
+    m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5))
 
     emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
                  .select("source", F.col("bar_ts_us").alias("ts_us"), "completion_seq"))

@@ -138,8 +138,11 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
         ticks = ebars.with_seq(ticks)
     ticks = ticks.persist()
     td = ebars.with_tick_direction(ticks)
-    m1 = ebars.aggregate_bars(td, 1).persist()
-    m5 = ebars.aggregate_bars(td, 5).persist()
+    # one tick-sized pass (see engine/pipeline.py): M5 derives from the
+    # persisted partial M1 bars
+    base = ebars.aggregate_bars_partial(td, 1).persist()
+    m1 = ebars.finish_bars(base).persist()
+    m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5)).persist()
 
     # The bounds table is tiny (one row per source-chunk) and STAYS
     # distributed. The RDD round-trip breaks the shared lineage with m1/m5
