@@ -126,9 +126,15 @@ def _labels_chunk_fn(cfg: LabelConfig):
 def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
                         chunk_bars: int = 4000,
                         warmup_bars: int = WARMUP_BARS,
-                        label_cfg: LabelConfig | None = None) -> DataFrame:
+                        label_cfg: LabelConfig | None = None,
+                        cache_ticks: bool = True) -> DataFrame:
     """Halo-chunked variant of engine.pipeline.run_pipeline — identical
-    results, hot sources split into bounded parallel tasks."""
+    results, hot sources split into bounded parallel tasks.
+
+    cache_ticks: the tick table is consumed twice (bar pass + label halo
+    replication). Caching wins at bench scale, but at 100 TB a full-table
+    persist churns the block store — pass False there and let both consumers
+    re-scan the columnar source (pruned to 5 columns)."""
     cfg = label_cfg or LabelConfig()
     # see engine/pipeline.py: the bars ⋈ labels fusion join trips the
     # dataset-id heuristic even though the applyInPandas side has fresh
@@ -136,7 +142,8 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
     spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     if "seq" not in ticks.columns:
         ticks = ebars.with_seq(ticks)
-    ticks = ticks.persist()
+    if cache_ticks:
+        ticks = ticks.persist()
     td = ebars.with_tick_direction(ticks)
     # one tick-sized pass (see engine/pipeline.py): M5 derives from the
     # persisted partial M1 bars

@@ -2,6 +2,7 @@
 per-source run (north-rule property: partitioning/salting invariance)."""
 
 import numpy as np
+import pytest
 
 from forex_feature_generator_spark import synth
 from forex_feature_generator_spark.engine import pipeline as epipe
@@ -9,14 +10,18 @@ from forex_feature_generator_spark.engine import skew as eskew
 from forex_feature_generator_spark.oracle import pipeline as opipe
 
 
-def test_salted_equals_unsalted(spark):
-    # ~1500 bars/source so chunk halos genuinely truncate the prefix
+@pytest.mark.parametrize("chunk_bars,seed,cache", [
+    (300, 17, True),     # halos genuinely truncate the prefix
+    (137, 5, False),     # odd chunk size + uncached-ticks (100 TB posture)
+])
+def test_salted_equals_unsalted(spark, chunk_bars, seed, cache):
     ticks = synth.gen_ticks(n_sources=2, ticks_per_source=15000, hot_sources=1,
-                            hot_factor=2, seed=17, mean_gap_s=6.0)
+                            hot_factor=2, seed=seed, mean_gap_s=6.0)
     sdf = spark.createDataFrame(ticks)
     plain = (epipe.run_pipeline(spark, sdf)
              .orderBy("source", "ts_us").toPandas())
-    salted = (eskew.run_pipeline_salted(spark, sdf, chunk_bars=300)
+    salted = (eskew.run_pipeline_salted(spark, sdf, chunk_bars=chunk_bars,
+                                        cache_ticks=cache)
               .orderBy("source", "ts_us").toPandas())
     assert len(plain) == len(salted) and len(plain) > 1000
     assert (plain["ts_us"].to_numpy() == salted["ts_us"].to_numpy()).all()
