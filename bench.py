@@ -181,9 +181,11 @@ def host_cpu_ceiling(levels=(1, 2, 4, 8, 32)) -> dict[str, float]:
     for k in levels:
         with ProcessPoolExecutor(max_workers=k) as ex:
             list(ex.map(_burn, range(k)))          # warm the pool
-            t0 = time.time()
-            list(ex.map(_burn, range(k)))
-            tk = time.time() - t0
+            tk = float("inf")
+            for _ in range(2):                     # best-of-2 vs transient load
+                t0 = time.time()
+                list(ex.map(_burn, range(k)))
+                tk = min(tk, time.time() - t0)
         if t1 is None:
             t1 = tk
         out[str(k)] = round(k * t1 / tk, 2)
@@ -271,13 +273,13 @@ def main() -> None:
         lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
 
         small = _ensure_corpus("96x50000h0")
-        t1, r1, e1 = bench_features_subprocess_trials(1, small, trials=2)
-        t4, r4, e4 = bench_features_subprocess_trials(4, small, trials=2)
+        t1, r1, e1 = bench_features_subprocess_trials(1, small, trials=3)
+        t4, r4, e4 = bench_features_subprocess_trials(4, small, trials=3)
 
         weak_lo = _ensure_corpus("32x50000h0")
         weak_hi = _ensure_corpus("128x50000h0")
-        tw2, rw2, _ = bench_features_subprocess_trials(2, weak_lo, trials=2)
-        tw8, rw8, _ = bench_features_subprocess_trials(8, weak_hi, trials=2)
+        tw2, rw2, ew2 = bench_features_subprocess_trials(2, weak_lo, trials=3)
+        tw8, rw8, ew8 = bench_features_subprocess_trials(8, weak_hi, trials=3)
 
         ceil = host_cpu_ceiling()
         raw_lo_mid = round(
@@ -322,8 +324,15 @@ def main() -> None:
             "weak_scaling_pair": "local[2]@32x50000h0 -> local[8]@128x50000h0 "
                                  f"({rw2} -> {rw8} rows, fixed work/core)",
             "weak_scaling_levels": {
-                "2": {"sec": round(tw2, 2), "rows_per_sec": round(rw2 / tw2, 1)},
-                "8": {"sec": round(tw8, 2), "rows_per_sec": round(rw8 / tw8, 1)}},
+                "2": {"sec": round(tw2, 2), "rows_per_sec": round(rw2 / tw2, 1),
+                      "effective_cores": round(ew2, 2)},
+                "8": {"sec": round(tw8, 2), "rows_per_sec": round(rw8 / tw8, 1),
+                      "effective_cores": round(ew8, 2)}},
+            # contention-robust form: throughput per effective core is flat
+            # when the engine scales (corrects for transient host load that
+            # hits one level's measurement window but not the other's)
+            "weak_scaling_per_effective_core": round(
+                (rw8 / tw8 / ew8) / (rw2 / tw2 / ew2), 3) if ew2 > 0 else None,
             # Spark-free capacity of this box at k concurrent processes
             # (k * t1 / tk); normalization denominators for the raw pairs
             "host_cpu_ceiling": ceil,

@@ -128,6 +128,29 @@ def aggregate_bars(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
     return finish_bars(aggregate_bars_partial(ticks_dir, tf_minutes))
 
 
+def market_state(m5_bars: DataFrame, out_col: str = "market_state") -> DataFrame:
+    """Market-state classifier (FeaturePipeline.cs:176-197) — the reference
+    computes it per emission over the latest 20 M5 bars and never persists
+    it; here it is an optional diagnostic column on the M5 bar stream (the
+    state only changes when an M5 bar completes). Faithful quirks: fewer
+    than 20 bars -> Normal, and the averages cover the 19 MOST RECENT bars
+    (Take(19) on a most-recent-first list includes the current bar and
+    excludes the oldest of the 20)."""
+    w19 = Window.partitionBy("source").orderBy("bar_ts_us").rowsBetween(-18, 0)
+    w20 = Window.partitionBy("source").orderBy("bar_ts_us").rowsBetween(-19, 0)
+    rng = F.col("high") - F.col("low")
+    n20 = F.count(F.lit(1)).over(w20)
+    avg_vol = F.avg("tick_volume").over(w19)
+    avg_rng = F.avg(rng).over(w19)
+    cur_vol = F.col("tick_volume")
+    state = (
+        F.when(n20 < 20, F.lit("Normal"))
+        .when((cur_vol > avg_vol * 2) | (rng > avg_rng * 2), F.lit("HighActivity"))
+        .when((cur_vol < avg_vol * 0.5) & (rng < avg_rng * 0.5), F.lit("LowActivity"))
+        .otherwise(F.lit("Normal")))
+    return m5_bars.withColumn(out_col, state)
+
+
 def build_bars(ticks: DataFrame, timeframes=(1, 5)) -> dict[int, DataFrame]:
     """All timeframes branch off ONE tick-sized pass: the finest timeframe's
     partial bars are aggregated once, coarser ones derive from them."""

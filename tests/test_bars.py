@@ -39,3 +39,41 @@ def test_bars_match_oracle(spark, small_ticks):
                                           err_msg=f"tf={tf} col={c}")
         np.testing.assert_allclose(got["avg_spread"], exp["avg_spread"],
                                    rtol=1e-12, atol=1e-15)
+
+
+def _py_market_state(vol, high, low):
+    """Transcription of FeaturePipeline.cs:176-197 over a chronological bar
+    list: state at bar t uses the latest 20 bars ending at t; the averages
+    take the 19 most recent (current included, oldest excluded)."""
+    out = []
+    for t in range(len(vol)):
+        if t < 19:
+            out.append("Normal")
+            continue
+        cur_v, cur_r = vol[t], high[t] - low[t]
+        vs = vol[t - 18:t + 1]
+        rs = [h - l for h, l in zip(high[t - 18:t + 1], low[t - 18:t + 1])]
+        av, ar = sum(vs) / 19.0, sum(rs) / 19.0
+        if cur_v > av * 2 or cur_r > ar * 2:
+            out.append("HighActivity")
+        elif cur_v < av * 0.5 and cur_r < ar * 0.5:
+            out.append("LowActivity")
+        else:
+            out.append("Normal")
+    return out
+
+
+def test_market_state(spark, small_ticks):
+    sdf = spark.createDataFrame(small_ticks)
+    m5 = ebars.aggregate_bars(ebars.with_tick_direction(sdf), 5)
+    got = (ebars.market_state(m5)
+           .orderBy("source", "bar_ts_us")
+           .select("source", "bar_ts_us", "market_state").toPandas())
+    states = set(got["market_state"])
+    assert states <= {"Normal", "HighActivity", "LowActivity"}
+    for src, g in got.groupby("source"):
+        bars = (m5.filter(m5.source == src)
+                .orderBy("bar_ts_us").toPandas())
+        exp = _py_market_state(bars["tick_volume"].tolist(),
+                               bars["high"].tolist(), bars["low"].tolist())
+        assert list(g["market_state"]) == exp, src
