@@ -978,6 +978,54 @@ FROM t
 """
 
 
+def q35_asof_strict(spark, sf_dir):
+    """STRICT backward as-of join (right_ts < left_ts): the variant the
+    leakage-sensitive paths use — an aggregate timestamped exactly at the
+    event must NOT be visible to it."""
+    ev = _load(spark, sf_dir, "events")
+    quotes = (ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+              .agg(F.round(F.avg("value"), 6).alias("ref_value"))
+              .withColumn("minute_end", F.col("minute") + F.expr("interval 1 minute")))
+    return (WIN.asof_join_backward(ev, quotes, ["event_type"], "ts",
+                                   "minute_end", ["ref_value"], strict=True)
+            .select("event_id", "event_type", "ref_value"))
+
+
+SQL_Q35 = """
+WITH quotes AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         round(avg(value), 6) AS ref_value,
+         date_trunc('minute', ts) + INTERVAL 1 MINUTE AS minute_end
+  FROM events GROUP BY event_type, date_trunc('minute', ts))
+SELECT e.event_id, e.event_type, q.ref_value
+FROM events e
+ASOF LEFT JOIN quotes q
+  ON e.event_type = q.event_type AND e.ts > q.minute_end
+"""
+
+
+def q36_backward_fill(spark, sf_dir):
+    """Backward fill: each row inherits the NEXT observed value of a sparse
+    column (the companion of q06's forward fill)."""
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("sparse", F.when(F.col("event_id") % 7 == 0, F.col("value")))
+    return (WIN.backward_fill(ev, "sparse", ["user_id"], "ts", "bfilled")
+            .select("event_id", "user_id", "bfilled"))
+
+
+SQL_Q36 = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN value END AS sparse
+  FROM events)
+SELECT event_id, user_id,
+       first_value(sparse IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfilled
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tumbling_ohlc": q01_tumbling_ohlc,
@@ -1014,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_pii_scrub": q32_pii_scrub,
         "q33_top_ngrams": q33_top_ngrams,
         "q34_pack_sequences": q34_pack_sequences,
+        "q35_asof_strict": q35_asof_strict,
+        "q36_backward_fill": q36_backward_fill,
     }
 
 
@@ -1053,4 +1103,6 @@ def oracle_sql() -> dict[str, str]:
         "q32_pii_scrub": SQL_Q32,
         "q33_top_ngrams": SQL_Q33,
         "q34_pack_sequences": SQL_Q34,
+        "q35_asof_strict": SQL_Q35,
+        "q36_backward_fill": SQL_Q36,
     }
