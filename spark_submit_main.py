@@ -27,7 +27,8 @@ def main() -> None:
     ap.add_argument("--input-format", default="parquet", choices=["parquet", "csv"])
     ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--mode", default="features", choices=["features", "tokens"])
+    ap.add_argument("--mode", default="features",
+                    choices=["features", "tokens", "labels"])
     ap.add_argument("--no-chunking", action="store_true",
                     help="disable the default halo-chunked execution (one "
                          "unbounded pandas group per source — test/debug only)")
@@ -74,6 +75,12 @@ def main() -> None:
     if args.mode == "tokens":
         out = etok.full_features(ticks)
         out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    elif args.mode == "labels":
+        # full LabelResult surface (confidence/profits/MAE/MFE/tt/RR/quality)
+        # — the reference computes these but persists only the label
+        out = epipe.label_table(spark, ticks, with_metadata=True)
+        out.write.mode("overwrite").partitionBy("source").parquet(args.output)
         n = spark.read.parquet(args.output).count()
     elif args.resume:
         stats = esnap.run_resumable(spark, ticks, args.output,
