@@ -53,6 +53,37 @@ def load_ticks_csv(spark: SparkSession, path: str,
             .withColumn("source", F.lit(source_name)))
 
 
+def validate_ticks(ticks: DataFrame) -> dict:
+    """Tick-quality scan (Program.cs:135-177 ValidateTickData): spread
+    statistics in pips, the extreme-spread warning (max > 10x avg), and the
+    time-ordering-violation count — one aggregation pass instead of the
+    reference's driver-side loops."""
+    from pyspark.sql import Window
+    spread = F.col("ask") - F.col("bid")
+    order_col = "seq" if "seq" in ticks.columns else "ts"
+    w = Window.partitionBy("source").orderBy(order_col)
+    viol = (F.lag("ts").over(w) > F.col("ts")).cast("int")
+    row = (ticks
+           .withColumn("__viol", viol)
+           .agg(F.avg(spread).alias("avg_s"), F.min(spread).alias("min_s"),
+                F.max(spread).alias("max_s"), F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("__viol"), F.lit(0)).alias("viol"))
+           .first())
+    issues = []
+    if row["max_s"] is not None and row["max_s"] > row["avg_s"] * 10:
+        issues.append(f"Extreme spread detected: {row['max_s'] * 10000:.2f} pips")
+    if row["viol"]:
+        issues.append(f"Time ordering issues: {row['viol']} rows")
+    return {
+        "n_ticks": row["n"],
+        "avg_spread_pips": round(row["avg_s"] * 10000, 2) if row["avg_s"] is not None else None,
+        "min_spread_pips": round(row["min_s"] * 10000, 2) if row["min_s"] is not None else None,
+        "max_spread_pips": round(row["max_s"] * 10000, 2) if row["max_s"] is not None else None,
+        "ts_violations": int(row["viol"]),
+        "issues": issues,
+    }
+
+
 def csv_diagnostics(spark: SparkSession, path: str) -> dict:
     """One aggregate pass over the same scan: data lines seen (excluding
     header/comments/blank), ticks kept, malformed dropped — the aggregate

@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--batch-sources", type=int, default=8)
     ap.add_argument("--normalize", action="store_true",
                     help="also write the normalized table + stats csv")
+    ap.add_argument("--validate", action="store_true",
+                    help="tick-quality scan before processing "
+                         "(spread stats, ordering violations)")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="recompute even if outputs already exist (default "
+                         "mirrors the reference's file-existence memoization)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,25 +94,46 @@ def main() -> None:
         print(json.dumps({"resume": stats}, default=str))
         n = spark.read.parquet(args.output).count()
     else:
-        if args.no_chunking:
-            out = epipe.run_pipeline(spark, ticks)
-        else:
-            # default: bounded memory per task regardless of source skew
-            out = eskew.run_pipeline_salted(spark, ticks, chunk_bars=args.chunk_bars)
-        out.write.mode("overwrite").partitionBy("source").parquet(args.output)
-        try:
+        if args.validate:
+            from forex_feature_generator_spark.engine import tick_source
+            print(json.dumps({"validation": tick_source.validate_ticks(ticks)}))
+        # phase memoization (Program.cs:54,89): an existing output skips the
+        # generation phase; normalization reuses the stats CSV when present
+        # and skips when the normalized table exists
+        done_marker = os.path.join(args.output, "_SUCCESS")
+        if os.path.exists(done_marker) and not args.overwrite:
+            print(json.dumps({"skipped": "features (output exists)"}))
             n = spark.read.parquet(args.output).count()
-        except Exception:
-            # inputs shorter than the 260-bar warm-up emit nothing: the
-            # partitioned dir has no files and the re-read cannot infer a
-            # schema — an empty result, not an error
-            n = 0
+        else:
+            if args.no_chunking:
+                out = epipe.run_pipeline(spark, ticks)
+            else:
+                # default: bounded memory per task regardless of source skew
+                out = eskew.run_pipeline_salted(spark, ticks,
+                                                chunk_bars=args.chunk_bars)
+            out.write.mode("overwrite").partitionBy("source").parquet(args.output)
+            try:
+                n = spark.read.parquet(args.output).count()
+            except Exception:
+                # inputs shorter than the 260-bar warm-up emit nothing: the
+                # partitioned dir has no files and the re-read cannot infer a
+                # schema — an empty result, not an error
+                n = 0
         if args.normalize and n:
+            stats_path = args.output.rstrip("/") + "_statistics.csv"
+            norm_path = args.output.rstrip("/") + "_normalized"
             feats = spark.read.parquet(args.output)
-            st = enorm.compute_stats(feats)
-            st.to_csv(args.output.rstrip("/") + "_statistics.csv", index=False)
-            enorm.normalize(feats, st).write.mode("overwrite").parquet(
-                args.output.rstrip("/") + "_normalized")
+            if os.path.exists(stats_path) and not args.overwrite:
+                st = enorm.load_stats(stats_path)
+                print(json.dumps({"loaded_stats": stats_path}))
+            else:
+                st = enorm.compute_stats(feats)
+                st.to_csv(stats_path, index=False)
+            if (not os.path.exists(os.path.join(norm_path, "_SUCCESS"))
+                    or args.overwrite):
+                enorm.normalize(feats, st).write.mode("overwrite").parquet(norm_path)
+            else:
+                print(json.dumps({"skipped": "normalize (output exists)"}))
 
     dt = time.time() - t0
     print(json.dumps({"rows": n, "wall_sec": round(dt, 2),

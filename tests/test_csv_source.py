@@ -73,6 +73,24 @@ def test_csv_source_matches_tickloader(spark, tmp_path):
     assert (got["source"] == "default").all()
 
 
+def test_validate_ticks(spark):
+    """ValidateTickData parity (Program.cs:135-177): spread stats in pips,
+    extreme-spread flag, ordering-violation count."""
+    import pandas as pd
+    rows = [("s", i, i, 1.1000, 1.1001 + (0.01 if i == 5 else 0))
+            for i in range(100)]
+    pdf = pd.DataFrame(rows, columns=["source", "seq", "sec", "bid", "ask"])
+    pdf["ts"] = pd.Timestamp("2024-01-02") + pd.to_timedelta(pdf.pop("sec"), unit="s")
+    # one out-of-order timestamp (by seq order)
+    pdf.loc[7, "ts"] = pd.Timestamp("2024-01-02 00:00:03")
+    v = tick_source.validate_ticks(spark.createDataFrame(pdf))
+    assert v["n_ticks"] == 100
+    assert v["max_spread_pips"] == 101.0      # 1 pip + the planted 100-pip spike
+    assert v["ts_violations"] == 1
+    assert any("Extreme spread" in i for i in v["issues"])
+    assert any("ordering" in i for i in v["issues"])
+
+
 def test_csv_source_feeds_pipeline(spark, tmp_path):
     """Round-trip: a reference-shaped CSV drives the bar aggregation."""
     from forex_feature_generator_spark import synth
