@@ -120,7 +120,7 @@ def bench_features(cores: int, corpus: str, warm: bool = True,
         ticks = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
         if warm:
             warm_sources = [r[0] for r in
-                            ticks.select("source").distinct().limit(4).collect()]
+                            ticks.select("source").distinct().limit(2).collect()]
             eskew.run_pipeline_salted(
                 spark, ticks.filter(F.col("source").isin(warm_sources)),
                 chunk_bars=4000).count()
@@ -273,13 +273,13 @@ def main() -> None:
         lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
 
         small = _ensure_corpus("96x50000h0")
-        t1, r1, e1 = bench_features_subprocess_trials(1, small, trials=3)
-        t4, r4, e4 = bench_features_subprocess_trials(4, small, trials=3)
+        t1, r1, e1 = bench_features_subprocess_trials(1, small, trials=2)
+        t4, r4, e4 = bench_features_subprocess_trials(4, small, trials=2)
 
         weak_lo = _ensure_corpus("32x50000h0")
         weak_hi = _ensure_corpus("128x50000h0")
-        tw2, rw2, ew2 = bench_features_subprocess_trials(2, weak_lo, trials=3)
-        tw8, rw8, ew8 = bench_features_subprocess_trials(8, weak_hi, trials=3)
+        tw2, rw2, ew2 = bench_features_subprocess_trials(2, weak_lo, trials=2)
+        tw8, rw8, ew8 = bench_features_subprocess_trials(8, weak_hi, trials=2)
 
         ceil = host_cpu_ceiling()
         raw_lo_mid = round(
