@@ -1026,6 +1026,58 @@ FROM t
 """
 
 
+def q37_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
+    centroids partition the corpus into cells, queries probe their 2 best
+    cells, exact rerank — the oracle mirrors the same deterministic
+    quantizer."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=2)
+
+
+SQL_Q37 = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+picked AS (
+  SELECT md5(vec_id::VARCHAR) AS h, vec_id AS cid, ev
+  FROM v ORDER BY h, cid LIMIT 16),
+cents AS (SELECT row_number() OVER (ORDER BY h, cid) AS cell, ev AS cv
+          FROM picked),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.ev, c.cv) DESC,
+                                       c.cell ASC) AS cr
+    FROM v, cents c) WHERE cr <= 1),
+assign_q AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.ev, c.cv) DESC,
+                                       c.cell ASC) AS cr
+    FROM v, cents c WHERE v.vec_id < 10) WHERE cr <= 2),
+cand AS (
+  SELECT DISTINCT q.query_id, n.neighbor_id
+  FROM assign_q q JOIN assign_c n USING (cell)
+  WHERE n.neighbor_id <> q.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.ev, b.ev)
+           / (sqrt(list_dot_product(a.ev, a.ev))
+              * sqrt(list_dot_product(b.ev, b.ev))) AS cosine
+  FROM cand JOIN v a ON a.vec_id = cand.query_id
+            JOIN v b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tumbling_ohlc": q01_tumbling_ohlc,
@@ -1064,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_pack_sequences": q34_pack_sequences,
         "q35_asof_strict": q35_asof_strict,
         "q36_backward_fill": q36_backward_fill,
+        "q37_ann_ivf": q37_ann_ivf,
     }
 
 
@@ -1105,4 +1158,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_pack_sequences": SQL_Q34,
         "q35_asof_strict": SQL_Q35,
         "q36_backward_fill": SQL_Q36,
+        "q37_ann_ivf": SQL_Q37,
     }

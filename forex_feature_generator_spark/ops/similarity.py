@@ -106,6 +106,62 @@ def embedding_near_dups_lsh(corpus: DataFrame, dim: int,
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into cells
+    around deterministic centroids (the n_cells corpus vectors ranked first
+    by md5(id) — a hash-sampled quantizer, fully oracle-mirrorable), each
+    vector is assigned to its max-dot-product cell, a query probes its
+    n_probe best cells, and candidates get an exact cosine rerank.
+
+    Scale shape: the centroid table is tiny (broadcast); assignment is a
+    JVM-side broadcast join + max_by (n_cells dot products per row, one
+    pass); the candidate join is an equi-join on cell — per-query work is
+    ~n_probe/n_cells of the corpus, never all of it."""
+    # top-K by hash via distributed TakeOrdered (orderBy+limit — no global
+    # single-partition window); the row_number runs on the K-row result only
+    picked = (corpus
+              .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+              .select("__h", F.col(id_col).alias("__cid"),
+                      F.col(vec_col).alias("c_vec"))
+              .orderBy(F.col("__h").asc(), F.col("__cid").asc())
+              .limit(n_cells))
+    cents = (picked
+             .withColumn("cell", F.row_number().over(
+                 Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
+             .select("cell", "c_vec"))
+
+    def assign(df, idn, keep_vec, probes):
+        d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))
+        scored = (d.crossJoin(F.broadcast(cents))
+                  .withColumn("__dot", _dot(
+                      F.transform(F.col(f"{idn}_vec"), lambda x: x.cast("double")),
+                      F.transform(F.col("c_vec"), lambda x: x.cast("double"))))
+                  .drop("c_vec"))
+        w = Window.partitionBy(idn).orderBy(F.col("__dot").desc(),
+                                            F.col("cell").asc())
+        out = (scored.withColumn("__cr", F.row_number().over(w))
+               .filter(F.col("__cr") <= probes)
+               .select(idn, f"{idn}_vec", "cell"))
+        return out if keep_vec else out.drop(f"{idn}_vec")
+
+    cb = assign(corpus, "neighbor_id", True, 1)
+    qb = assign(queries, "query_id", True, n_probe)
+    cand = (cb.join(qb, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+            .distinct())
+    scored = with_cosine(cand, "query_id_vec", "neighbor_id_vec") \
+        .select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_planes, dim)).tolist()

@@ -96,6 +96,28 @@ def test_lsh_topk_recall(spark):
     assert recall / 5 >= 0.5   # 8 bands of 2 bits: generous candidate sets
 
 
+def test_ivf_topk_recall(spark):
+    """IVF cells from hash-sampled centroids: on clustered data a query's
+    true neighbors live in its own cluster's cell, so 2-probe recall is
+    high; the rerank is exact so every returned pair is correctly scored."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(10, 32)) * 4
+    vecs = np.vstack([c + rng.normal(scale=0.3, size=(20, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": vecs.tolist()})
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, q, k=5).toPandas()
+    ivf = SIM.ivf_topk(emb, q, k=5, n_cells=16, n_probe=2).toPandas()
+    recall = np.mean([
+        len(set(exact[exact.query_id == i].neighbor_id)
+            & set(ivf[ivf.query_id == i].neighbor_id)) / 5 for i in range(5)])
+    assert recall >= 0.8
+    # precision: every returned cosine equals the exact pair cosine
+    merged = ivf.merge(exact, on=["query_id", "neighbor_id"],
+                       suffixes=("_i", "_e"))
+    assert np.allclose(merged["cosine_i"], merged["cosine_e"])
+
+
 def test_embedding_near_dups_lsh_recall(spark):
     """The banded-LSH near-dup path must find every genuine near-duplicate
     (planted at cosine ~0.9999) and never emit a pair the exact brute-force
