@@ -1026,6 +1026,34 @@ FROM t
 """
 
 
+def q38_dedup_clusters(spark, sf_dir):
+    """Connected-components clustering over the MinHash near-dup pairs
+    (iterative min-label propagation; the dedup 'keep one per cluster'
+    building block). Oracle: recursive-CTE transitive closure over the same
+    pair set."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
+    return D.dedup_clusters(pairs)
+
+
+def _sql_q38() -> str:
+    pairs_sql = _sql_q16().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+     WHERE e.dst <> r.src)
+SELECT src AS id, least(src, min(dst)) AS comp
+FROM reach GROUP BY src
+"""
+
+
 def q37_ann_ivf(spark, sf_dir):
     """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
     centroids partition the corpus into cells, queries probe their 2 best
@@ -1117,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_asof_strict": q35_asof_strict,
         "q36_backward_fill": q36_backward_fill,
         "q37_ann_ivf": q37_ann_ivf,
+        "q38_dedup_clusters": q38_dedup_clusters,
     }
 
 
@@ -1159,4 +1188,5 @@ def oracle_sql() -> dict[str, str]:
         "q35_asof_strict": SQL_Q35,
         "q36_backward_fill": SQL_Q36,
         "q37_ann_ivf": SQL_Q37,
+        "q38_dedup_clusters": _sql_q38(),
     }

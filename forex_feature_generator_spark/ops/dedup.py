@@ -147,6 +147,52 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     return est
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, comp) where comp is
+    the minimum id in the component (the canonical keeper).
+
+    Iterative min-label propagation with POINTER HALVING: each round a node
+    takes the min of its own, its neighbors', and its current label's label
+    (comp <- labels[comp]) — the halving step turns O(diameter) convergence
+    into O(log diameter), the same trick large-star/small-star uses. Each
+    iteration is localCheckpoint'ed: an iterative DataFrame loop otherwise
+    compounds the logical plan each round and the DRIVER dies of plan-size
+    OOM long before the data is big. Driver-side convergence loop — the
+    iterative-algorithm pattern on DataFrames."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("comp").alias("comp_n")), "dst")
+               .groupBy("src").agg(F.min("comp_n").alias("nbr_min")))
+        new = (labels.join(nbr.select(F.col("src").alias("id"), "nbr_min"),
+                           "id", "left")
+               .select("id", F.least(F.col("comp"),
+                                     F.coalesce(F.col("nbr_min"), F.col("comp")))
+                       .alias("comp")))
+        # pointer halving: follow the label one hop (labels are node ids)
+        lk = new.select(F.col("id").alias("__cid"), F.col("comp").alias("__cc"))
+        new = (new.join(lk, new.comp == lk.__cid, "left")
+               .select("id", F.least(F.col("comp"),
+                                     F.coalesce(F.col("__cc"), F.col("comp")))
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.select(F.col("id"), F.col("comp").alias("comp_new"))
+                   .join(labels, "id")
+                   .filter(F.col("comp_new") != F.col("comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "comp")
+
+
 SIMHASH_BITS = 60   # md5-prefix token hash: 15 hex chars fit a signed int64
 #                     identically in Spark (conv) and DuckDB (oracle-checkable)
 SIMHASH_BAND_BITS = 15

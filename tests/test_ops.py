@@ -69,6 +69,36 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
             assert abs(e - _py_jaccard(pdf[a], pdf[b])) < 0.35
 
 
+def test_dedup_clusters_union_find(spark):
+    """Min-label propagation vs a plain union-find on a random pair graph
+    (long chains force multiple propagation rounds)."""
+    rng = np.random.default_rng(13)
+    pairs = [(2 * i, 2 * i + 1) for i in range(20)]          # 20 islands
+    pairs += [(i, i + 1) for i in range(100, 140)]           # 41-node chain
+    extra = rng.integers(200, 260, size=(30, 2))
+    pairs += [(int(a), int(b)) for a, b in extra if a != b]
+    pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {r.id: r.comp for r in
+           D.dedup_clusters(spark.createDataFrame(pdf)).collect()}
+    assert got == expected
+
+
 def test_simhash_near_dups_close(spark, docs):
     sigs = {r.id: r.simhash for r in D.simhash(docs).collect()}
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
