@@ -283,6 +283,20 @@ def streaming_labels_stateful(ticks: DataFrame, tf_minutes: int = 1,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def streaming_exact_dedup(docs: DataFrame, ts_col: str = "ts",
+                          watermark: str = "1 hour",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: drops rows whose normalized-text md5 was
+    already seen within the watermark horizon (bounded state — the streaming
+    form of ops/dedup.exact_dedup's hash key). Rows, not groups: the FIRST
+    arrival survives."""
+    from ..ops.dedup import normalize_text
+    keyed = docs.withColumn("__text_hash", F.md5(normalize_text(F.col(text_col))))
+    return (keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__text_hash"])
+            .drop("__text_hash"))
+
+
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
     """Gap-based session aggregation with session_window (north-rule

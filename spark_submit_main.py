@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--batch-sources", type=int, default=8)
     ap.add_argument("--normalize", action="store_true",
                     help="also write the normalized table + stats csv")
+    ap.add_argument("--calculators",
+                    help="comma-separated calculator families to keep "
+                         "(FeatureConfiguration equivalent), e.g. "
+                         "Directional,Position,TechnicalIndicators")
     ap.add_argument("--validate", action="store_true",
                     help="tick-quality scan before processing "
                          "(spread stats, ordering violations)")
@@ -111,6 +115,9 @@ def main() -> None:
                 # default: bounded memory per task regardless of source skew
                 out = eskew.run_pipeline_salted(spark, ticks,
                                                 chunk_bars=args.chunk_bars)
+            if args.calculators:
+                out = epipe.select_calculators(
+                    out, [c.strip() for c in args.calculators.split(",")])
             out.write.mode("overwrite").partitionBy("source").parquet(args.output)
             try:
                 n = spark.read.parquet(args.output).count()

@@ -98,6 +98,36 @@ def test_streaming_bars_stateful_exact_parity(spark, tmp_path, small_ticks):
         np.testing.assert_allclose(got[c], batch[c], rtol=1e-12, err_msg=c)
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each normalized text survives; duplicates within the
+    watermark horizon are dropped."""
+    import pandas as pd
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_exact_dedup)
+    rows = []
+    for i in range(60):
+        rows.append((i, f"unique doc {i}" if i % 3 else "A repeated   doc!",
+                     pd.Timestamp("2024-01-02") + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pdf.to_parquet(str(src / "p0.parquet"))
+    schema = spark.createDataFrame(pdf).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_dir = str(tmp_path / "dedup_out")
+    q = (streaming_exact_dedup(stream)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    # 40 unique docs (i % 3 != 0) + exactly one survivor of the 20 repeats
+    assert len(got) == 41
+    assert (got["text"] == "A repeated   doc!").sum() == 1
+
+
 def test_streaming_labels_match_batch(spark, tmp_path, small_ticks):
     """Streaming 600-tick-lookahead labels == batch labels for every
     emission whose full forward window exists (the streamed set); the batch
