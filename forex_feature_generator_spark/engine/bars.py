@@ -43,18 +43,27 @@ def with_seq(ticks: DataFrame) -> DataFrame:
     return ticks.withColumn("seq", F.row_number().over(w) - F.lit(1))
 
 
-def aggregate_bars_partial(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
+def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int) -> DataFrame:
     """ALL bars including the final not-yet-completed one, carrying
     spread_sum and first_ts_us so higher timeframes can be DERIVED from this
     output (bars_from_lower) instead of re-scanning + re-shuffling the full
-    tick stream — the tick-sized pass happens once."""
+    tick stream — the tick-sized pass happens once.
+
+    Up/down tick direction is computed INSIDE the bar groupBy (sorted tick
+    pairs per bar) plus a bar-level boundary term against the previous bar's
+    close — semantically identical to a per-tick lag(bid) (the previous tick
+    of a bar's first tick IS the previous bar's last tick), but it removes
+    the tick-level window's partitionBy(source): a 10x-hot source no longer
+    becomes one giant sort task, and the only tick-sized exchange left in
+    the whole pipeline is this groupBy's partial-aggregated shuffle.
+    (A pre-existing up_tick/down_tick from with_tick_direction is ignored.)"""
     tf_us = tf_minutes * US_PER_MIN
     # cast: accepts both session-tz TIMESTAMP and parquet TIMESTAMP_NTZ
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bar_ts = (us - (us % F.lit(tf_us))).alias("bar_ts_us")
     spread = F.col("ask") - F.col("bid")
-    return (
-        ticks_dir
+    g = (
+        ticks
         .withColumn("bar_ts_us", bar_ts)
         .groupBy("source", "bar_ts_us")
         .agg(
@@ -63,8 +72,7 @@ def aggregate_bars_partial(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
             F.min("bid").alias("low"),
             F.max_by("bid", "seq").alias("close"),
             F.count(F.lit(1)).alias("tick_volume"),
-            F.sum("up_tick").alias("up"),
-            F.sum("down_tick").alias("down"),
+            F.sort_array(F.collect_list(F.struct("seq", "bid"))).alias("__tb"),
             F.sum(spread).alias("spread_sum"),
             F.max(spread).alias("max_spread"),
             F.min(spread).alias("min_spread"),
@@ -72,6 +80,25 @@ def aggregate_bars_partial(ticks_dir: DataFrame, tf_minutes: int) -> DataFrame:
             F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
         )
     )
+    # consecutive-pair directions within the bar (JVM higher-order functions)
+    up_in = F.expr("size(filter(zip_with(slice(__tb, 2, size(__tb) - 1), "
+                   "slice(__tb, 1, size(__tb) - 1), (c, p) -> c.bid > p.bid), "
+                   "x -> x))").cast("long")
+    down_in = F.expr("size(filter(zip_with(slice(__tb, 2, size(__tb) - 1), "
+                     "slice(__tb, 1, size(__tb) - 1), (c, p) -> c.bid < p.bid), "
+                     "x -> x))").cast("long")
+    g = g.withColumn("__up_in", up_in).withColumn("__down_in", down_in).drop("__tb")
+    # boundary: the bar's first tick vs the previous bar's close (the very
+    # first tick of a source has no direction — the _lastBid == 0 guard)
+    w = Window.partitionBy("source").orderBy("bar_ts_us")
+    prev_close = F.lag("close").over(w)
+    b_up = F.when(prev_close.isNotNull() & (F.col("open") > prev_close),
+                  F.lit(1)).otherwise(F.lit(0))
+    b_down = F.when(prev_close.isNotNull() & (F.col("open") < prev_close),
+                    F.lit(1)).otherwise(F.lit(0))
+    return (g.withColumn("up", (F.col("__up_in") + b_up).cast("long"))
+            .withColumn("down", (F.col("__down_in") + b_down).cast("long"))
+            .drop("__up_in", "__down_in"))
 
 
 def bars_from_lower(partial: DataFrame, mult_minutes: int) -> DataFrame:

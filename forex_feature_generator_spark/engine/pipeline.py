@@ -84,11 +84,11 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     if cache_ticks:
         ticks = ticks.persist()
 
-    td = ebars.with_tick_direction(ticks)
-    # one tick-sized pass: M5 derives from the partial M1 bars (exact field
-    # composition, engine/bars.py::bars_from_lower) instead of a second
+    # one tick-sized pass: direction is computed inside the bar groupBy (no
+    # per-source tick sort), and M5 derives from the partial M1 bars (exact
+    # field composition, engine/bars.py::bars_from_lower) instead of a second
     # full-tick window + shuffle
-    base = ebars.aggregate_bars_partial(td, 1).persist()
+    base = ebars.aggregate_bars_partial(ticks, 1).persist()
     m1 = ebars.finish_bars(base)
     m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5))
 

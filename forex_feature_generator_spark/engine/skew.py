@@ -144,10 +144,9 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
         ticks = ebars.with_seq(ticks)
     if cache_ticks:
         ticks = ticks.persist()
-    td = ebars.with_tick_direction(ticks)
-    # one tick-sized pass (see engine/pipeline.py): M5 derives from the
-    # persisted partial M1 bars
-    base = ebars.aggregate_bars_partial(td, 1).persist()
+    # one tick-sized pass (see engine/pipeline.py): direction inside the bar
+    # groupBy, M5 derived from the persisted partial M1 bars
+    base = ebars.aggregate_bars_partial(ticks, 1).persist()
     m1 = ebars.finish_bars(base).persist()
     m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5)).persist()
 
