@@ -69,12 +69,13 @@ def main() -> None:
     # 2. bars plan
     ticks = spark.createDataFrame(
         synth.gen_ticks(n_sources=2, ticks_per_source=2000, hot_sources=0))
-    bars = ebars.aggregate_bars(ebars.with_tick_direction(ticks), 1)
+    bars = ebars.aggregate_bars(ticks, 1)
     sections.append((
         "Tick -> M1 bars",
-        "One exchange on `source` for the lag window; the groupBy emits "
-        "partial aggregates map-side (HashAggregate before the exchange on "
-        "(source, bar_ts_us)); completion window reuses source partitioning.",
+        "ONE tick-sized exchange total: the groupBy on (source, bar_ts_us) "
+        "emits partial aggregates map-side; up/down direction comes from "
+        "per-bar sorted tick pairs + a bar-level boundary lag — no tick "
+        "window, no per-source tick sort anywhere.",
         explain_str(bars)))
 
     # 3. as-of join — no row explosion
