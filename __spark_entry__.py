@@ -1026,6 +1026,42 @@ FROM t
 """
 
 
+def q39_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word fraction and
+    most-frequent 2-/3-gram concentration per document."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.repetition_stats(docs)
+
+
+SQL_Q39 = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(ws) - 1, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1]))) AS g
+  FROM w),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS g
+  FROM w),
+t2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2 FROM
+       (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+t3 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top3 FROM
+       (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT w.doc_id, len(ws)::BIGINT AS n_words,
+       round((len(ws) - len(list_distinct(ws))) * 1.0 / greatest(len(ws), 1), 6)
+         AS dup_word_frac,
+       round(coalesce(t2.top2, 0.0), 6) AS top2_frac,
+       round(coalesce(t3.top3, 0.0), 6) AS top3_frac
+FROM w LEFT JOIN t2 ON t2.doc_id = w.doc_id
+       LEFT JOIN t3 ON t3.doc_id = w.doc_id
+"""
+
+
 def q38_dedup_clusters(spark, sf_dir):
     """Connected-components clustering over the MinHash near-dup pairs
     (iterative min-label propagation; the dedup 'keep one per cluster'
@@ -1146,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_backward_fill": q36_backward_fill,
         "q37_ann_ivf": q37_ann_ivf,
         "q38_dedup_clusters": q38_dedup_clusters,
+        "q39_repetition": q39_repetition,
     }
 
 
@@ -1189,4 +1226,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_backward_fill": SQL_Q36,
         "q37_ann_ivf": SQL_Q37,
         "q38_dedup_clusters": _sql_q38(),
+        "q39_repetition": SQL_Q39,
     }

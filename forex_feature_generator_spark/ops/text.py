@@ -107,6 +107,41 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
             .limit(k))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filtering rules):
+    fraction of duplicate word occurrences, and the corpus-scalable
+    top-n-gram concentration (occurrences of the single most frequent 2-/
+    3-gram over all n-gram occurrences in the doc). Shape: explode ->
+    partial-aggregated groupBy per n — no per-doc quadratic scans, so a
+    book-length document costs the same per token as a tweet."""
+    from .dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("ws"))
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        grams = base.select(
+            "id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - F.lit(n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, n)))).alias("g"))
+        cnt = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return (cnt.groupBy("id")
+                .agg((F.max("c") / F.sum("c")).alias(out)))
+
+    dup = (base.select(
+        "id", F.size("ws").cast("long").alias("n_words"),
+        ((F.size("ws") - F.size(F.array_distinct("ws")))
+         / F.greatest(F.size("ws"), F.lit(1))).alias("dup_word_frac")))
+    out = (dup.join(top_frac(2, "top2_frac"), "id", "left")
+           .join(top_frac(3, "top3_frac"), "id", "left"))
+    return out.select(F.col("id").alias(id_col), "n_words",
+                      F.round("dup_word_frac", 6).alias("dup_word_frac"),
+                      F.round(F.coalesce("top2_frac", F.lit(0.0)), 6).alias("top2_frac"),
+                      F.round(F.coalesce("top3_frac", F.lit(0.0)), 6).alias("top3_frac"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of the normalized text + a polynomial
     rolling hash of the word sequence (mod ROLL_P < 2^55 so acc*31 + h stays

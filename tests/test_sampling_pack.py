@@ -72,6 +72,21 @@ def test_top_ngrams_deterministic(spark):
     assert out.iloc[0]["n_docs"] == 6
 
 
+def test_repetition_stats_planted(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),       # no repetition
+        (1, "spam spam spam spam spam spam"),             # total repetition
+        (2, "one two one two one two three"),             # heavy 2-gram reuse
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TXT.repetition_stats(docs).orderBy("doc_id").toPandas()
+    assert out.loc[0, "dup_word_frac"] == 0.0
+    assert abs(out.loc[1, "dup_word_frac"] - 5 / 6) < 1e-6  # rounded to 6dp
+    assert out.loc[1, "top2_frac"] == 1.0         # "spam spam" is every 2-gram
+    # doc 2: 2-grams = [one two, two one, one two, two one, one two, two three]
+    assert abs(out.loc[2, "top2_frac"] - 3 / 6) < 1e-9
+
+
 def test_pack_sequences_arithmetic(spark):
     rows = [(0, "s", 600), (1, "s", 600), (2, "s", 600), (3, "s", 600),
             (10, "t", 1500)]
