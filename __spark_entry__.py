@@ -1026,6 +1026,35 @@ FROM t
 """
 
 
+def q40_multimodal_resize(spark, sf_dir):
+    """Aspect-fit resize plumbing over binary assets (mapInPandas; pixel
+    work stubbed as a pure function of the bytes — source dims from the
+    deterministic decode, resized key = sha256(hex ++ ':WxH') — so the full
+    transform is SQL-mirrorable)."""
+    docs = _load(spark, sf_dir, "documents")
+    return MM.resize_assets(MM.documents_as_assets(docs))
+
+
+def _sql_q40() -> str:
+    b0 = _hex2int_sql("sh[1:2]", 2)
+    b1 = _hex2int_sql("sh[3:4]", 2)
+    return f"""
+WITH t AS (
+  SELECT doc_id::VARCHAR AS asset_id, 'image' AS modality, sha256(text) AS sh
+  FROM documents),
+d AS (SELECT asset_id, modality, sh,
+             (64 + {b0} % 192) AS w, (64 + {b1} % 192) AS h FROM t),
+r AS (SELECT asset_id, modality, sh, w, h,
+             greatest(1, floor(w * least(64.0 / w, 64.0 / h, 1.0)))::INTEGER AS ow,
+             greatest(1, floor(h * least(64.0 / w, 64.0 / h, 1.0)))::INTEGER AS oh
+      FROM d)
+SELECT asset_id, modality, w::INTEGER AS src_width, h::INTEGER AS src_height,
+       ow AS width, oh AS height,
+       sha256(sh || ':' || ow::VARCHAR || 'x' || oh::VARCHAR) AS resized_sha256
+FROM r
+"""
+
+
 def q39_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: duplicate-word fraction and
     most-frequent 2-/3-gram concentration per document."""
@@ -1183,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_ann_ivf": q37_ann_ivf,
         "q38_dedup_clusters": q38_dedup_clusters,
         "q39_repetition": q39_repetition,
+        "q40_multimodal_resize": q40_multimodal_resize,
     }
 
 
@@ -1227,4 +1257,5 @@ def oracle_sql() -> dict[str, str]:
         "q37_ann_ivf": SQL_Q37,
         "q38_dedup_clusters": _sql_q38(),
         "q39_repetition": SQL_Q39,
+        "q40_multimodal_resize": _sql_q40(),
     }

@@ -81,6 +81,94 @@ def decode_assets(assets: DataFrame, strict: bool = False) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("modality", StringType()),
+    StructField("src_width", IntegerType()),
+    StructField("src_height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized_sha256", StringType()),
+])
+
+
+def resize_assets(assets: DataFrame, target_w: int = 64, target_h: int = 64,
+                  strict: bool = False) -> DataFrame:
+    """Aspect-fit resize plumbing (never upscales). The pixel work is the
+    stubbed part (no image libs in the sandbox): source dims come from the
+    deterministic decode and the 'resized' content is keyed as
+    sha256(hex(sha256(content)) + ':WxH') — every output column is a pure
+    function of the bytes, so the whole transform is oracle-checkable; the
+    Arrow batch shape and schema are what a PIL-backed implementation
+    drops into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if strict and len(pdf):
+                raise NotImplementedError(
+                    "real image resizing requires PIL/turbojpeg, absent here")
+            digests = [hashlib.sha256(bytes(c or b"")).digest()
+                       for c in pdf["content"]]
+            dims = [_fake_decode(d, m)[:2]
+                    for d, m in zip(digests, pdf["modality"])]
+            rows = []
+            for d, (w, h) in zip(digests, dims):
+                if w is None:
+                    rows.append((None, None, None))
+                    continue
+                scale = min(target_w / w, target_h / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                key = d.hex() + f":{ow}x{oh}"
+                rows.append((ow, oh, hashlib.sha256(key.encode()).hexdigest()))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "modality": pdf["modality"].to_numpy(),
+                "src_width": pd.array([x[0] for x in dims], dtype="Int32"),
+                "src_height": pd.array([x[1] for x in dims], dtype="Int32"),
+                "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                "resized_sha256": [r[2] for r in rows],
+            })
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+])
+
+
+def frame_sample(assets: DataFrame, k: int = 8) -> DataFrame:
+    """Uniform frame sampling for video assets: k evenly spaced frame
+    indices floor(i * n_frames / k), deduplicated for short clips —
+    the standard vision-pretraining sampling plan. Frame COUNTS come from
+    the deterministic decode stub; the plan explodes to one row per sampled
+    frame (what a real decoder would feed the feature extractor)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "n_frames": [], "frame_idx": []}
+            for aid, c, m in zip(pdf["asset_id"], pdf["content"],
+                                 pdf["modality"]):
+                if m != "video":
+                    continue
+                digest = hashlib.sha256(bytes(c or b"")).digest()
+                n = 1 + digest[2] % 300
+                for idx in sorted({i * n // k for i in range(k)}):
+                    out["asset_id"].append(aid)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+            yield pd.DataFrame({
+                "asset_id": out["asset_id"],
+                "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+            })
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Adapter for tests/benchmarks: treats document text bytes as binary

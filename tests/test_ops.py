@@ -186,6 +186,36 @@ def test_multimodal_decode_deterministic(spark, docs):
     assert row["height"] == 64 + digest[1] % 192
 
 
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    assets = MM.documents_as_assets(docs)
+    rs = MM.resize_assets(assets).orderBy("asset_id").toPandas()
+    assert len(rs) == docs.count()
+    # aspect-fit, never upscales, always inside the target box
+    assert (rs["width"] <= 64).all() and (rs["height"] <= 64).all()
+    # the larger dim lands on the target edge (floor + float can give 63)
+    assert (np.maximum(rs["width"], rs["height"]) >= 63).all()
+    ar_src = rs["src_width"] / rs["src_height"]
+    ar_out = rs["width"] / rs["height"]
+    assert np.allclose(ar_src, ar_out, rtol=0.05)   # floor() tolerance
+    # one row cross-checked against the local stub
+    row = rs.iloc[0]
+    src = docs.filter(F.col("doc_id").cast("string") == row["asset_id"]).first()
+    d = hashlib.sha256(src["text"].encode()).digest()
+    key = d.hex() + f":{row['width']}x{row['height']}"
+    assert row["resized_sha256"] == hashlib.sha256(key.encode()).hexdigest()
+
+    # frame sampling over synthetic videos: k evenly spaced, in range, sorted
+    vids = assets.limit(5).withColumn("modality", F.lit("video"))
+    fs = MM.frame_sample(vids, k=8).toPandas()
+    assert fs["asset_id"].nunique() == 5
+    for aid, g in fs.groupby("asset_id"):
+        n = g["n_frames"].iloc[0]
+        assert (g["frame_idx"] < n).all() and (g["frame_idx"] >= 0).all()
+        assert list(g["frame_idx"]) == sorted(set(i * n // 8 for i in range(8)))
+    # images produce no frames
+    assert MM.frame_sample(assets.limit(3), k=4).count() == 0
+
+
 def test_multimodal_strict_raises(spark, docs):
     assets = MM.documents_as_assets(docs.limit(2))
     with pytest.raises(Exception):
