@@ -1026,6 +1026,41 @@ FROM t
 """
 
 
+def q41_session_window(spark, sf_dir):
+    """Gap-based session AGGREGATION via F.session_window (the batch form of
+    the streaming sessionizer): one row per session with start / end
+    (last event + gap) / event count."""
+    ev = _load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window(F.col("ts").cast("timestamp"),
+                                        "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events"))
+
+
+SQL_Q41 = """
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q40_multimodal_resize(spark, sf_dir):
     """Aspect-fit resize plumbing over binary assets (mapInPandas; pixel
     work stubbed as a pure function of the bytes — source dims from the
@@ -1213,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dedup_clusters": q38_dedup_clusters,
         "q39_repetition": q39_repetition,
         "q40_multimodal_resize": q40_multimodal_resize,
+        "q41_session_window": q41_session_window,
     }
 
 
@@ -1258,4 +1294,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_dedup_clusters": _sql_q38(),
         "q39_repetition": SQL_Q39,
         "q40_multimodal_resize": _sql_q40(),
+        "q41_session_window": SQL_Q41,
     }
