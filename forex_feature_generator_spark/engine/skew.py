@@ -29,7 +29,14 @@ m1/m5 is broken with an RDD round-trip so the joins cannot alias-collide.
 Chunk-0 caveat: the absolute-run-count gates (warm-up 260, emission-state
 counts <= 110) only affect bar indices < ~560, which always live in chunk 0
 with a complete prefix — later chunks pass every gate, and their ring-buffer
-reads stay inside the halo."""
+reads stay inside the halo.
+
+Residual per-source work: NOTHING tick-sized sorts per source anymore
+(direction lives in the bar groupBy); the remaining partitionBy(source)
+windows (bar completion/index, chunk bounds) run over BARS — 1-3 orders of
+magnitude smaller than ticks (a decade of minute bars is ~5M narrow rows,
+one bounded sort task). If even that binds, the completion lead/row_number
+can move to the same bucketed-range pattern used by the replication joins."""
 
 from __future__ import annotations
 
