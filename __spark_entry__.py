@@ -1026,6 +1026,36 @@ FROM t
 """
 
 
+def q42_quantile_binning(spark, sf_dir):
+    """Quantile discretization (feature binning): decile id per row from
+    exact percentile cutpoints, folded in as a broadcast 1-row array —
+    bin = #cutpoints <= value, fully lazy on both engines. Cutpoints are
+    rounded to 4dp on both sides so boundary rows bin identically
+    (l_extendedprice itself has 2 decimals)."""
+    li = _load(spark, sf_dir, "lineitem")
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = li.agg(F.transform(
+        F.percentile("l_extendedprice", F.lit(qs)),
+        lambda c: F.round(c, 4)).alias("cuts"))
+    j = li.crossJoin(F.broadcast(cuts))
+    dec = F.size(F.filter(F.col("cuts"),
+                          lambda c: F.col("l_extendedprice") >= c))
+    return j.select("l_orderkey", "l_linenumber",
+                    dec.cast("int").alias("price_decile"))
+
+
+SQL_Q42 = """
+WITH c AS (
+  SELECT list_transform(
+           quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 4)) AS cuts
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       len(list_filter(c.cuts, x -> l_extendedprice >= x))::INTEGER AS price_decile
+FROM lineitem, c
+"""
+
+
 def q41_session_window(spark, sf_dir):
     """Gap-based session AGGREGATION via F.session_window (the batch form of
     the streaming sessionizer): one row per session with start / end
@@ -1249,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_repetition": q39_repetition,
         "q40_multimodal_resize": q40_multimodal_resize,
         "q41_session_window": q41_session_window,
+        "q42_quantile_binning": q42_quantile_binning,
     }
 
 
@@ -1295,4 +1326,5 @@ def oracle_sql() -> dict[str, str]:
         "q39_repetition": SQL_Q39,
         "q40_multimodal_resize": _sql_q40(),
         "q41_session_window": SQL_Q41,
+        "q42_quantile_binning": SQL_Q42,
     }
