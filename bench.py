@@ -336,6 +336,11 @@ def main() -> None:
             # Spark-free capacity of this box at k concurrent processes
             # (k * t1 / tk); normalization denominators for the raw pairs
             "host_cpu_ceiling": ceil,
+            # self-interpretation: when even 2/4 spare processes don't get
+            # 2x/~3x, external load was squeezing this run — read the raw
+            # pairs of such a run against the *_per_effective_core forms
+            "host_contended_during_run": bool(
+                ceil.get("2", 2.0) < 1.7 or ceil.get("4", 4.0) < 2.8),
             "scaling_efficiency_2_8_normalized": round(
                 raw_lo_mid * 4 / (ceil[str(mid)] / ceil[str(lo)]), 3)
             if str(mid) in ceil and str(lo) in ceil else None,
