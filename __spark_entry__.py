@@ -1028,14 +1028,21 @@ FROM t
 
 def q42_quantile_binning(spark, sf_dir):
     """Quantile discretization (feature binning): decile id per row from
-    exact percentile cutpoints, folded in as a broadcast 1-row array —
+    percentile cutpoints, folded in as a broadcast 1-row array —
     bin = #cutpoints <= value, fully lazy on both engines. Cutpoints are
     rounded to 4dp on both sides so boundary rows bin identically
-    (l_extendedprice itself has 2 decimals)."""
+    (l_extendedprice itself has 2 decimals).
+
+    Cutpoints go through engine.normalize.gated_quantile_agg: exact
+    `percentile` at test scale (<=20M rows, deterministic vs the DuckDB
+    oracle), approx_percentile sketch above — an exact global percentile
+    buffers every value in one agg buffer, a 100 TB OOM."""
+    from forex_feature_generator_spark.engine.normalize import gated_quantile_agg
     li = _load(spark, sf_dir, "lineitem")
     qs = [i / 10 for i in range(1, 10)]
+    n = li.count()   # column-pruned scan; decides the gate
     cuts = li.agg(F.transform(
-        F.percentile("l_extendedprice", F.lit(qs)),
+        gated_quantile_agg("l_extendedprice", qs, n),
         lambda c: F.round(c, 4)).alias("cuts"))
     j = li.crossJoin(F.broadcast(cuts))
     dec = F.size(F.filter(F.col("cuts"),

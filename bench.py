@@ -159,6 +159,41 @@ def bench_features_subprocess_trials(cores: int, corpus: str,
     raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
+def bench_features_matrix(jobs: list[tuple[str, int, str]],
+                          trials: int = 3) -> dict[str, dict]:
+    """Runs every (key, cores, corpus) job `trials` times, INTERLEAVED
+    round-robin (job A trial 1, job B trial 1, ..., A trial 2, B trial 2,
+    ...) and reports the per-job MEDIAN. Rationale (round-2 lesson): with
+    level-blocked trials a transient squeeze on this shared-tenancy host
+    lands entirely on one level's block and fabricates a 2x 'regression';
+    interleaving spreads any contention window across every level's samples,
+    and the median rejects a single squeezed trial. Per-job trial lists and
+    max/min spread are reported so a noisy invocation is self-diagnosing."""
+    import statistics
+    samples: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
+    effs: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
+    rows: dict[str, int] = {}
+    for _ in range(max(1, trials)):
+        for key, cores, corpus in jobs:
+            dt, r, e = bench_features_subprocess_trials(cores, corpus, trials=1)
+            samples[key].append(dt)
+            effs[key].append(e)
+            rows[key] = r
+    out = {}
+    for key, cores, _ in jobs:
+        med = statistics.median(samples[key])
+        out[key] = {
+            "cores": cores,
+            "sec": round(med, 2),
+            "rows": rows[key],
+            "rows_per_sec": round(rows[key] / med, 1),
+            "effective_cores": round(statistics.median(effs[key]), 2),
+            "trials_sec": [round(x, 2) for x in samples[key]],
+            "trial_spread": round(max(samples[key]) / min(samples[key]), 2),
+        }
+    return out
+
+
 def _burn(_):
     # pure-Python integer loop: no numpy/BLAS threads, no memory traffic
     # beyond L1 — isolates the host's clock/SMT scaling from everything else
@@ -261,27 +296,38 @@ def main() -> None:
         #     single-socket host ceiling does not bind,
         #  3. fixed-work-per-core WEAK scaling (2 cores/2W vs 8 cores/8W) —
         #     the shape a 4N-executor cluster actually runs at 100 TB,
-        # plus a Spark-free host-capacity microbench (host_cpu_ceiling) so
-        # the normalized numbers are reproducible from this JSON alone.
+        # plus a Spark-free host-capacity microbench (host_cpu_ceiling)
+        # BEFORE AND AFTER the measurement window, so a squeeze that starts
+        # or ends mid-bench is caught (round 2's single probe missed one).
+        # ALL jobs run interleaved round-robin, median-of-3
+        # (bench_features_matrix) — no level ever owns a contention window.
         levels = sorted({2, max(1, CPUS // 4), CPUS})
-        perf = {}
-        rows = None
-        for c in levels:
-            dt, rows, eff = bench_features_subprocess_trials(c, corpus, trials=2)
-            perf[c] = {"sec": round(dt, 2), "rows_per_sec": round(rows / dt, 1),
-                       "effective_cores": round(eff, 2)}
-        lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
-
         small = _ensure_corpus("96x50000h0")
-        t1, r1, e1 = bench_features_subprocess_trials(1, small, trials=2)
-        t4, r4, e4 = bench_features_subprocess_trials(4, small, trials=2)
-
         weak_lo = _ensure_corpus("32x50000h0")
         weak_hi = _ensure_corpus("128x50000h0")
-        tw2, rw2, ew2 = bench_features_subprocess_trials(2, weak_lo, trials=2)
-        tw8, rw8, ew8 = bench_features_subprocess_trials(8, weak_hi, trials=2)
 
-        ceil = host_cpu_ceiling()
+        ceil_before = host_cpu_ceiling()
+        jobs = ([(f"strong{c}", c, corpus) for c in levels]
+                + [("pair1", 1, small), ("pair4", 4, small),
+                   ("weak2", 2, weak_lo), ("weak8", 8, weak_hi)])
+        m = bench_features_matrix(jobs, trials=3)
+        ceil_after = host_cpu_ceiling()
+        ceil = {k: round(min(ceil_before[k], ceil_after.get(k, 99.0)), 2)
+                for k in ceil_before}
+
+        perf = {c: {"sec": m[f"strong{c}"]["sec"],
+                    "rows_per_sec": m[f"strong{c}"]["rows_per_sec"],
+                    "effective_cores": m[f"strong{c}"]["effective_cores"],
+                    "trials_sec": m[f"strong{c}"]["trials_sec"],
+                    "trial_spread": m[f"strong{c}"]["trial_spread"]}
+                for c in levels}
+        rows = m[f"strong{levels[-1]}"]["rows"]
+        lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
+
+        t1, r1, e1 = m["pair1"]["sec"], m["pair1"]["rows"], m["pair1"]["effective_cores"]
+        t4, r4, e4 = m["pair4"]["sec"], m["pair4"]["rows"], m["pair4"]["effective_cores"]
+        tw2, rw2, ew2 = m["weak2"]["sec"], m["weak2"]["rows"], m["weak2"]["effective_cores"]
+        tw8, rw8, ew8 = m["weak8"]["sec"], m["weak8"]["rows"], m["weak8"]["effective_cores"]
         raw_lo_mid = round(
             (perf[mid]["rows_per_sec"] / perf[lo]["rows_per_sec"]) / (mid / lo), 3)
         raw_mid_hi = round(
@@ -334,13 +380,23 @@ def main() -> None:
             "weak_scaling_per_effective_core": round(
                 (rw8 / tw8 / ew8) / (rw2 / tw2 / ew2), 3) if ew2 > 0 else None,
             # Spark-free capacity of this box at k concurrent processes
-            # (k * t1 / tk); normalization denominators for the raw pairs
+            # (k * t1 / tk); normalization denominators for the raw pairs.
+            # min(before, after) of the two probes bracketing the window
             "host_cpu_ceiling": ceil,
-            # self-interpretation: when even 2/4 spare processes don't get
-            # 2x/~3x, external load was squeezing this run — read the raw
-            # pairs of such a run against the *_per_effective_core forms
+            "host_cpu_ceiling_before": ceil_before,
+            "host_cpu_ceiling_after": ceil_after,
+            "trial_protocol": "interleaved round-robin across all (level, "
+                              "corpus) jobs, median of 3, fresh JVM per trial",
+            # self-interpretation: contended when any concurrency level fails
+            # to get its clean-host share — INCLUDING k=32, whose clean
+            # ceiling on this box is ~18.5-21 effective cores (round 2's
+            # 2/4-only heuristic said 'false' while the k=32 ceiling read
+            # 15.2 and the wide level regressed 2.2x) — or when the widest
+            # level's own interleaved trials spread >1.6x
             "host_contended_during_run": bool(
-                ceil.get("2", 2.0) < 1.7 or ceil.get("4", 4.0) < 2.8),
+                ceil.get("2", 2.0) < 1.7 or ceil.get("4", 4.0) < 2.8
+                or ceil.get("8", 8.0) < 6.0 or ceil.get("32", 32.0) < 17.0
+                or m[f"strong{hi}"]["trial_spread"] > 1.6),
             "scaling_efficiency_2_8_normalized": round(
                 raw_lo_mid * 4 / (ceil[str(mid)] / ceil[str(lo)]), 3)
             if str(mid) in ceil and str(lo) in ceil else None,

@@ -23,8 +23,21 @@ EXACT_QUANTILE_MAX_ROWS = 20_000_000
 APPROX_PERCENTILE_ACCURACY = 10_000   # max rank error = count/accuracy
 
 
+def gated_quantile_agg(col, probabilities, n_rows: int):
+    """THE size gate for every quantile computation in the engine: exact
+    `percentile` below EXACT_QUANTILE_MAX_ROWS (one aggregation buffer holds
+    every value of the group — fine at test scale, a driver/executor OOM at
+    100 TB), `approx_percentile` above (t-digest-style mergeable sketch,
+    rank error <= count/APPROX_PERCENTILE_ACCURACY)."""
+    if n_rows <= EXACT_QUANTILE_MAX_ROWS:
+        return F.percentile(col, F.lit(probabilities))
+    return F.approx_percentile(col, F.lit(probabilities),
+                               F.lit(APPROX_PERCENTILE_ACCURACY))
+
+
 def compute_stats(df: DataFrame, feature_cols: list[str] | None = None,
-                  exact_quantiles: bool | None = None) -> pd.DataFrame:
+                  exact_quantiles: bool | None = None,
+                  n_rows: int | None = None) -> pd.DataFrame:
     """Returns the stats table (feature,count,mean,stddev,min,max,q1,median,q3,iqr).
 
     Quantiles: exact `percentile` by default at test scale (deterministic —
@@ -33,10 +46,14 @@ def compute_stats(df: DataFrame, feature_cols: list[str] | None = None,
     EXACT_QUANTILE_MAX_ROWS the size gate switches to `approx_percentile`
     (t-digest-style sketch, mergeable map-side, rank error <=
     count/APPROX_PERCENTILE_ACCURACY). Pass exact_quantiles explicitly to
-    override the gate."""
+    override the gate, or n_rows when the caller already knows the row count
+    (avoids the dedicated count() scan — costliest exactly at the scale the
+    gate exists for)."""
     cols = feature_cols or FEATURE_NAMES
     if exact_quantiles is None:
-        exact_quantiles = df.count() <= EXACT_QUANTILE_MAX_ROWS
+        if n_rows is None:
+            n_rows = df.count()
+        exact_quantiles = n_rows <= EXACT_QUANTILE_MAX_ROWS
     if exact_quantiles:
         def q_agg(finite):
             return F.percentile(finite, F.lit([0.25, 0.5, 0.75]))

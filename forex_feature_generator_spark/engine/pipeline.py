@@ -16,6 +16,8 @@ narrow⋈narrow and AQE picks the strategy). For hot sources see engine/skew.py
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,13 +37,44 @@ LABELS_SCHEMA = "source string, ts_us long, label int"
 def attach_label(out, m1_pdf):
     """Carries the pre-joined per-bar label through the feature kernel
     (ts_us == bar_ts_us is unique per source/chunk group). No-op for callers
-    whose bar stream has no label column (tokens pipeline)."""
+    whose bar stream has no label column (tokens pipeline). Every emission
+    row MUST have a label (the label cogroup covers exactly the emission
+    set); a missing one would silently become INT_MIN under numpy's unsafe
+    float->int32 cast, so fail loudly instead."""
+    import numpy as np
     if "label" not in m1_pdf.columns:
         return out
     lab = pd.Series(m1_pdf["label"].to_numpy(),
                     index=m1_pdf["bar_ts_us"].to_numpy())
-    out["label"] = lab.reindex(out["ts_us"].to_numpy()).to_numpy("int32")
+    vals = lab.reindex(out["ts_us"].to_numpy()).to_numpy("float64")
+    if np.isnan(vals).any():
+        missing = out["ts_us"].to_numpy()[np.isnan(vals)][:5]
+        raise ValueError(
+            f"{int(np.isnan(vals).sum())} emission rows have no label "
+            f"(first ts_us: {missing.tolist()}) — label/emission sets diverged")
+    out["label"] = vals.astype("int32")
     return out
+
+
+@contextmanager
+def unambiguous_self_join(spark: SparkSession):
+    """Scopes spark.sql.analyzer.failAmbiguousSelfJoin=false to the
+    pipeline's PLAN CONSTRUCTION. The single-pass design deliberately derives
+    every stream (m1, m5, emissions, labels) from one tick scan, so the
+    dataset-id heuristic flags the fusion join and the cogroups as potential
+    self-join ambiguities even though each side carries fresh applyInPandas /
+    aggregation attributes and resolution is well-defined (verified by
+    tests/test_skew.py plain-vs-salted equivalence). The heuristic fires only
+    at Dataset construction time — downstream analysis of already-built plans
+    does not re-run it — so restoring on exit leaves the session's safety net
+    intact for every other query (asserted in test_skew)."""
+    key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _features_fn(warmup_bars: int):
@@ -73,45 +106,46 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
     """ticks: (source, ts, bid, ask[, seq]). Returns the feature+label rows:
     (source, ts_us, <148 features>, label, timestamp)."""
     cfg = label_cfg or LabelConfig()
-    # The bars ⋈ labels join below is flagged by the dataset-id heuristic
-    # because `labels` contains m1 in its lineage — but the applyInPandas
-    # output carries FRESH attributes, so resolution is unambiguous; disable
-    # the heuristic (the actual bound condition is left.source = right.source
-    # with distinct expr ids, verified by tests/test_skew.py equivalence).
-    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     if "seq" not in ticks.columns:
         ticks = ebars.with_seq(ticks)
     if cache_ticks:
         ticks = ticks.persist()
 
-    # one tick-sized pass: direction is computed inside the bar groupBy (no
-    # per-source tick sort), and M5 derives from the partial M1 bars (exact
-    # field composition, engine/bars.py::bars_from_lower) instead of a second
-    # full-tick window + shuffle
-    base = ebars.aggregate_bars_partial(ticks, 1).persist()
-    m1 = ebars.finish_bars(base)
-    m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5))
+    # Everything below derives from the one tick scan by design, so the plan
+    # construction (fusion join + cogroups) runs under the scoped self-join-
+    # heuristic override — restored before this function returns.
+    with unambiguous_self_join(spark):
+        # one tick-sized pass: direction is computed inside the bar groupBy
+        # (no per-source tick sort), and M5 derives from the partial M1 bars
+        # (exact field composition, engine/bars.py::bars_from_lower) instead
+        # of a second full-tick window + shuffle
+        base = ebars.aggregate_bars_partial(ticks, 1).persist()
+        m1 = ebars.finish_bars(base)
+        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5))
 
-    emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
-                 .select("source", F.col("bar_ts_us").alias("ts_us"), "completion_seq"))
-    labels = (
-        emissions.groupBy("source")
-        .cogroup(ticks.select("source", "seq", "bid", "ask").groupBy("source"))
-        .applyInPandas(_labels_fn(cfg), schema=LABELS_SCHEMA)
-    )
+        emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
+                     .select("source", F.col("bar_ts_us").alias("ts_us"),
+                             "completion_seq"))
+        labels = (
+            emissions.groupBy("source")
+            .cogroup(ticks.select("source", "seq", "bid", "ask").groupBy("source"))
+            .applyInPandas(_labels_fn(cfg), schema=LABELS_SCHEMA)
+        )
 
-    # Fuse labels into the feature cogroup: join the 3-column label rows onto
-    # the NARROW bar stream (bars ⋈ labels, both one-row-per-bar), then let
-    # the kernel pass the label through — the wide 150-column output is never
-    # shuffled and the unbounded label side is never broadcast.
-    m1l = m1.join(labels.withColumnRenamed("ts_us", "bar_ts_us"),
-                  ["source", "bar_ts_us"], "left")
-
-    features = (
-        m1l.groupBy("source").cogroup(m5.groupBy("source"))
-        .applyInPandas(_features_fn(warmup_bars), schema=FEATURES_LABELED_SCHEMA)
-    )
-    return features.select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp")
+        # Fuse labels into the feature cogroup: join the 3-column label rows
+        # onto the NARROW bar stream (bars ⋈ labels, both one-row-per-bar),
+        # then let the kernel pass the label through — the wide 150-column
+        # output is never shuffled and the unbounded label side is never
+        # broadcast.
+        m1l = m1.join(labels.withColumnRenamed("ts_us", "bar_ts_us"),
+                      ["source", "bar_ts_us"], "left")
+        features = (
+            m1l.groupBy("source").cogroup(m5.groupBy("source"))
+            .applyInPandas(_features_fn(warmup_bars),
+                           schema=FEATURES_LABELED_SCHEMA)
+        )
+        return features.select("source", "ts_us", *FEATURE_NAMES, "label",
+                               "timestamp")
 
 
 LABEL_META_SCHEMA = (

@@ -49,7 +49,8 @@ from ..oracle.pipeline import FEATURE_NAMES
 from . import bars as ebars
 from .features import compute_features_pdf, WARMUP_BARS
 from .labels import compute_labels
-from .pipeline import FEATURES_LABELED_SCHEMA, LABELS_SCHEMA, attach_label
+from .pipeline import (FEATURES_LABELED_SCHEMA, LABELS_SCHEMA, attach_label,
+                       unambiguous_self_join)
 
 M1_HALO = 620
 M5_HALO = 620
@@ -143,78 +144,80 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
     persist churns the block store — pass False there and let both consumers
     re-scan the columnar source (pruned to 5 columns)."""
     cfg = label_cfg or LabelConfig()
-    # see engine/pipeline.py: the bars ⋈ labels fusion join trips the
-    # dataset-id heuristic even though the applyInPandas side has fresh
-    # attributes; resolution is positional and well-defined.
-    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     if "seq" not in ticks.columns:
         ticks = ebars.with_seq(ticks)
     if cache_ticks:
         ticks = ticks.persist()
-    # one tick-sized pass (see engine/pipeline.py): direction inside the bar
-    # groupBy, M5 derived from the persisted partial M1 bars
-    base = ebars.aggregate_bars_partial(ticks, 1).persist()
-    m1 = ebars.finish_bars(base).persist()
-    m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5)).persist()
+    # the whole plan construction derives from one tick scan, so it runs
+    # under the scoped self-join-heuristic override (engine/pipeline.py) —
+    # restored before this function returns
+    with unambiguous_self_join(spark):
+        # one tick-sized pass (see engine/pipeline.py): direction inside the bar
+        # groupBy, M5 derived from the persisted partial M1 bars
+        base = ebars.aggregate_bars_partial(ticks, 1).persist()
+        m1 = ebars.finish_bars(base).persist()
+        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5)).persist()
 
-    # The bounds table is tiny (one row per source-chunk) and STAYS
-    # distributed. The RDD round-trip breaks the shared lineage with m1/m5
-    # (fresh attribute ids) so the replication joins below cannot resolve the
-    # two sides to the same attributes; persist so it computes once.
-    raw_bounds = _chunk_bounds(m1, m5, chunk_bars)
-    bounds = spark.createDataFrame(raw_bounds.rdd, raw_bounds.schema).persist()
+        # The bounds table is tiny (one row per source-chunk) and STAYS
+        # distributed. The RDD round-trip breaks the shared lineage with m1/m5
+        # (fresh attribute ids) so the replication joins below cannot resolve the
+        # two sides to the same attributes; persist so it computes once.
+        raw_bounds = _chunk_bounds(m1, m5, chunk_bars)
+        bounds = spark.createDataFrame(raw_bounds.rdd, raw_bounds.schema).persist()
 
-    # --- labels first: one cogroup over (emissions, haloed ticks) per chunk
-    emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
-                 .withColumn("chunk", (F.col("bar_index") / F.lit(chunk_bars)).cast("long"))
-                 .select("source", "chunk", F.col("bar_ts_us").alias("ts_us"),
-                         "completion_seq"))
-    tick_ranges = _bucketed(
-        bounds.select("source", "chunk",
-                      F.col("comp_lo").alias("t_lo"),
-                      (F.col("comp_hi") + F.lit(LABEL_HALO)).alias("t_hi")),
-        "t_lo", "t_hi", TICK_BUCKET)
-    ticks_r = (ticks.select("source", "seq", "bid", "ask")
-               .withColumn("bkt", F.floor(F.col("seq") / F.lit(TICK_BUCKET)))
-               .join(tick_ranges, ["source", "bkt"])
-               .filter((F.col("seq") >= F.col("t_lo")) & (F.col("seq") <= F.col("t_hi")))
-               .drop("bkt", "t_lo", "t_hi"))
-    labels = (emissions.groupBy("source", "chunk")
-              .cogroup(ticks_r.groupBy("source", "chunk"))
-              .applyInPandas(_labels_chunk_fn(cfg), schema=LABELS_SCHEMA))
+        # --- labels first: one cogroup over (emissions, haloed ticks) per chunk
+        emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
+                     .withColumn("chunk", (F.col("bar_index") / F.lit(chunk_bars)).cast("long"))
+                     .select("source", "chunk", F.col("bar_ts_us").alias("ts_us"),
+                             "completion_seq"))
+        tick_ranges = _bucketed(
+            bounds.select("source", "chunk",
+                          F.col("comp_lo").alias("t_lo"),
+                          (F.col("comp_hi") + F.lit(LABEL_HALO)).alias("t_hi")),
+            "t_lo", "t_hi", TICK_BUCKET)
+        ticks_r = (ticks.select("source", "seq", "bid", "ask")
+                   .withColumn("bkt", F.floor(F.col("seq") / F.lit(TICK_BUCKET)))
+                   .join(tick_ranges, ["source", "bkt"])
+                   .filter((F.col("seq") >= F.col("t_lo")) & (F.col("seq") <= F.col("t_hi")))
+                   .drop("bkt", "t_lo", "t_hi"))
+        labels = (emissions.groupBy("source", "chunk")
+                  .cogroup(ticks_r.groupBy("source", "chunk"))
+                  .applyInPandas(_labels_chunk_fn(cfg), schema=LABELS_SCHEMA))
 
-    # fuse: labels joined onto the NARROW bar stream before replication, so
-    # the wide feature output is never shuffled or broadcast (labels come out
-    # of applyInPandas with fresh attributes — no self-join collision)
-    m1l = m1.join(labels.select("source", F.col("ts_us").alias("bar_ts_us"), "label"),
-                  ["source", "bar_ts_us"], "left")
+        # fuse: labels joined onto the NARROW bar stream before replication, so
+        # the wide feature output is never shuffled or broadcast (labels come out
+        # of applyInPandas with fresh attributes)
+        m1l = m1.join(labels.select("source", F.col("ts_us").alias("bar_ts_us"),
+                                    "label"),
+                      ["source", "bar_ts_us"], "left")
 
-    # replicate m1 bars into [b_lo - M1_HALO, b_hi]
-    m1_ranges = _bucketed(
-        bounds.select("source", "chunk",
-                      (F.col("b_lo") - F.lit(M1_HALO)).alias("rlo"),
-                      F.col("b_hi").alias("rhi"),
-                      F.col("b_lo").alias("emit_lo")),
-        "rlo", "rhi", chunk_bars)
-    m1r = (m1l.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
-           .join(m1_ranges, ["source", "bkt"])
-           .filter((F.col("bar_index") >= F.col("rlo"))
-                   & (F.col("bar_index") <= F.col("rhi")))
-           .drop("bkt", "rlo", "rhi"))
-    # replicate m5 bars into visible range [m5c_start - M5_HALO, m5c_end)
-    m5_ranges = _bucketed(
-        bounds.select("source", "chunk",
-                      (F.col("m5c_start") - F.lit(M5_HALO)).alias("rlo"),
-                      F.col("m5c_end").alias("rhi")),
-        "rlo", "rhi", chunk_bars)
-    m5r = (m5.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
-           .join(m5_ranges, ["source", "bkt"])
-           .filter((F.col("bar_index") >= F.col("rlo"))
-                   & (F.col("bar_index") < F.col("rhi")))
-           .drop("bkt", "rlo", "rhi"))
+        # replicate m1 bars into [b_lo - M1_HALO, b_hi]
+        m1_ranges = _bucketed(
+            bounds.select("source", "chunk",
+                          (F.col("b_lo") - F.lit(M1_HALO)).alias("rlo"),
+                          F.col("b_hi").alias("rhi"),
+                          F.col("b_lo").alias("emit_lo")),
+            "rlo", "rhi", chunk_bars)
+        m1r = (m1l.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
+               .join(m1_ranges, ["source", "bkt"])
+               .filter((F.col("bar_index") >= F.col("rlo"))
+                       & (F.col("bar_index") <= F.col("rhi")))
+               .drop("bkt", "rlo", "rhi"))
+        # replicate m5 bars into visible range [m5c_start - M5_HALO, m5c_end)
+        m5_ranges = _bucketed(
+            bounds.select("source", "chunk",
+                          (F.col("m5c_start") - F.lit(M5_HALO)).alias("rlo"),
+                          F.col("m5c_end").alias("rhi")),
+            "rlo", "rhi", chunk_bars)
+        m5r = (m5.withColumn("bkt", F.floor(F.col("bar_index") / F.lit(chunk_bars)))
+               .join(m5_ranges, ["source", "bkt"])
+               .filter((F.col("bar_index") >= F.col("rlo"))
+                       & (F.col("bar_index") < F.col("rhi")))
+               .drop("bkt", "rlo", "rhi"))
 
-    features = (m1r.groupBy("source", "chunk")
-                .cogroup(m5r.groupBy("source", "chunk"))
-                .applyInPandas(_features_chunk_fn(warmup_bars),
-                               schema=FEATURES_LABELED_SCHEMA))
-    return features.select("source", "ts_us", *FEATURE_NAMES, "label", "timestamp")
+        features = (m1r.groupBy("source", "chunk")
+                    .cogroup(m5r.groupBy("source", "chunk"))
+                    .applyInPandas(_features_chunk_fn(warmup_bars),
+                                   schema=FEATURES_LABELED_SCHEMA))
+        return features.select("source", "ts_us", *FEATURE_NAMES, "label",
+                               "timestamp")

@@ -108,11 +108,18 @@ def run_resumable(spark: SparkSession, ticks: DataFrame, table_path: str,
         # lineage counts from the just-written files (partition-pruned
         # columnar scan) — re-counting `result` would recompute the whole
         # pipeline a second time
-        out_counts = {r["source"]: r["cnt"] for r in
-                      spark.read.parquet(table_path)
-                      .filter(F.col("source").isin(batch))
-                      .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-                      .collect()}
+        try:
+            out_counts = {r["source"]: r["cnt"] for r in
+                          spark.read.parquet(table_path)
+                          .filter(F.col("source").isin(batch))
+                          .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+                          .collect()}
+        except Exception:
+            # every source in the batch was shorter than the warm-up: the
+            # partitioned dir has no data files yet and the re-read cannot
+            # infer a schema — an empty batch, not an error (same guard as
+            # spark_submit_main)
+            out_counts = {}
         elapsed_ms = int((time.time() - t0) * 1000)
         lineage = {s: {"rows_in": int(in_counts[s]),
                        "rows_out": int(out_counts.get(s, 0)),

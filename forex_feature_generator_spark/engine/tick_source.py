@@ -45,31 +45,51 @@ def _blank(df: DataFrame):
 
 def load_ticks_csv(spark: SparkSession, path: str,
                    source_name: str = "default") -> DataFrame:
-    """(source, ts, bid, ask) with reference drop semantics; lazy —
-    no job runs here."""
+    """(source, ts, bid, ask, seq) with reference drop semantics; lazy —
+    no job runs here.
+
+    `seq` is the FILE/ARRIVAL order (monotonically_increasing_id: split index
+    in the high bits, in-split row offset in the low bits — CSV splits are
+    assigned in file-offset order, so seq is order-consistent with the file),
+    matching the reference's sequential read (TickLoader.cs:30-69). It feeds
+    the ordering-violation check in validate_ticks and the bar aggregation's
+    arrival-order semantics without a ts sort."""
     raw = _raw(spark, path)
     return (raw.filter(_ok(raw) & ~_blank(raw))
             .drop("_corrupt")
-            .withColumn("source", F.lit(source_name)))
+            .withColumn("source", F.lit(source_name))
+            .withColumn("seq", F.monotonically_increasing_id()))
 
 
 def validate_ticks(ticks: DataFrame) -> dict:
     """Tick-quality scan (Program.cs:135-177 ValidateTickData): spread
     statistics in pips, the extreme-spread warning (max > 10x avg), and the
     time-ordering-violation count — one aggregation pass instead of the
-    reference's driver-side loops."""
+    reference's driver-side loops.
+
+    The ordering check needs an ARRIVAL-order column (`seq` — file/row order,
+    the reference detects ts going backwards in file order). Ordering the
+    window by `ts` itself would make lag(ts) > ts vacuously false, so when no
+    `seq` exists the check is SKIPPED with an explicit issue note and
+    ts_violations is None (load_ticks_csv always supplies seq)."""
     from pyspark.sql import Window
     spread = F.col("ask") - F.col("bid")
-    order_col = "seq" if "seq" in ticks.columns else "ts"
-    w = Window.partitionBy("source").orderBy(order_col)
-    viol = (F.lag("ts").over(w) > F.col("ts")).cast("int")
+    has_order = "seq" in ticks.columns
+    issues = []
+    if has_order:
+        w = Window.partitionBy("source").orderBy("seq")
+        viol = (F.lag("ts").over(w) > F.col("ts")).cast("int")
+        ticks = ticks.withColumn("__viol", viol)
+        viol_agg = F.coalesce(F.sum("__viol"), F.lit(0)).alias("viol")
+    else:
+        viol_agg = F.lit(None).cast("long").alias("viol")
+        issues.append("Ordering check skipped: no arrival-order 'seq' column "
+                      "(ordering by ts would be vacuous)")
     row = (ticks
-           .withColumn("__viol", viol)
            .agg(F.avg(spread).alias("avg_s"), F.min(spread).alias("min_s"),
                 F.max(spread).alias("max_s"), F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("__viol"), F.lit(0)).alias("viol"))
+                viol_agg)
            .first())
-    issues = []
     if row["max_s"] is not None and row["max_s"] > row["avg_s"] * 10:
         issues.append(f"Extreme spread detected: {row['max_s'] * 10000:.2f} pips")
     if row["viol"]:
@@ -79,7 +99,7 @@ def validate_ticks(ticks: DataFrame) -> dict:
         "avg_spread_pips": round(row["avg_s"] * 10000, 2) if row["avg_s"] is not None else None,
         "min_spread_pips": round(row["min_s"] * 10000, 2) if row["min_s"] is not None else None,
         "max_spread_pips": round(row["max_s"] * 10000, 2) if row["max_s"] is not None else None,
-        "ts_violations": int(row["viol"]),
+        "ts_violations": int(row["viol"]) if row["viol"] is not None else None,
         "issues": issues,
     }
 

@@ -159,7 +159,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     iteration is localCheckpoint'ed: an iterative DataFrame loop otherwise
     compounds the logical plan each round and the DRIVER dies of plan-size
     OOM long before the data is big. Driver-side convergence loop — the
-    iterative-algorithm pattern on DataFrames."""
+    iterative-algorithm pattern on DataFrames.
+
+    One job per round: the previous label rides along as `comp_old`, the
+    checkpoint is LAZY, and the convergence count is the action that
+    materializes it — the old shape re-joined new labels against old in a
+    second job (an extra shuffle join per round) just to count changes."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
@@ -173,24 +178,26 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                .groupBy("src").agg(F.min("comp_n").alias("nbr_min")))
         new = (labels.join(nbr.select(F.col("src").alias("id"), "nbr_min"),
                            "id", "left")
-               .select("id", F.least(F.col("comp"),
-                                     F.coalesce(F.col("nbr_min"), F.col("comp")))
+               .select("id", F.col("comp").alias("comp_old"),
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("nbr_min"), F.col("comp")))
                        .alias("comp")))
         # pointer halving: follow the label one hop (labels are node ids)
         lk = new.select(F.col("id").alias("__cid"), F.col("comp").alias("__cc"))
         new = (new.join(lk, new.comp == lk.__cid, "left")
-               .select("id", F.least(F.col("comp"),
-                                     F.coalesce(F.col("__cc"), F.col("comp")))
+               .select("id", "comp_old",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("__cc"), F.col("comp")))
                        .alias("comp"))
-               .localCheckpoint(eager=True))
-        changed = (new.select(F.col("id"), F.col("comp").alias("comp_new"))
-                   .join(labels, "id")
-                   .filter(F.col("comp_new") != F.col("comp")).count())
-        labels = new
+               .localCheckpoint(eager=False))
+        # this count materializes the lazy checkpoint AND measures convergence
+        # in the same job (comp_old is carried in the row — no re-join)
+        changed = new.filter(F.col("comp") != F.col("comp_old")).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("id", "comp")
+    return labels
 
 
 SIMHASH_BITS = 60   # md5-prefix token hash: 15 hex chars fit a signed int64

@@ -134,7 +134,9 @@ def main() -> None:
                 st = enorm.load_stats(stats_path)
                 print(json.dumps({"loaded_stats": stats_path}))
             else:
-                st = enorm.compute_stats(feats)
+                # n is the already-known output row count: the quantile gate
+                # decides exact-vs-sketch without a dedicated count() scan
+                st = enorm.compute_stats(feats, n_rows=n)
                 st.to_csv(stats_path, index=False)
             if (not os.path.exists(os.path.join(norm_path, "_SUCCESS"))
                     or args.overwrite):

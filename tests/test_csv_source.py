@@ -91,6 +91,38 @@ def test_validate_ticks(spark):
     assert any("ordering" in i for i in v["issues"])
 
 
+def test_validate_ticks_requires_arrival_order(spark):
+    """Without an arrival-order column the ordering check would be vacuous
+    (lag(ts) over ts-order can never exceed ts) — it must be SKIPPED loudly,
+    not silently report 0."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "source": ["s"] * 10,
+        "ts": pd.Timestamp("2024-01-02") + pd.to_timedelta(range(10), unit="s"),
+        "bid": [1.1] * 10, "ask": [1.1001] * 10})
+    v = tick_source.validate_ticks(spark.createDataFrame(pdf))
+    assert v["ts_violations"] is None
+    assert any("skipped" in i.lower() for i in v["issues"])
+
+
+def test_csv_arrival_order_detects_ts_violation(spark, tmp_path):
+    """load_ticks_csv carries file-order seq, so an out-of-order timestamp IN
+    THE FILE is detected (TickLoader reads sequentially; ValidateTickData
+    flags ts going backwards in arrival order)."""
+    path = str(tmp_path / "ooo.csv")
+    with open(path, "w") as f:
+        f.write("Timestamp,Bid,Ask\n")
+        f.write("2024-01-02 00:00:00,1.10000,1.10010\n")
+        f.write("2024-01-02 00:00:05,1.10002,1.10012\n")
+        f.write("2024-01-02 00:00:03,1.10003,1.10013\n")   # backwards in file
+        f.write("2024-01-02 00:00:06,1.10004,1.10014\n")
+    ticks = tick_source.load_ticks_csv(spark, path)
+    assert "seq" in ticks.columns
+    v = tick_source.validate_ticks(ticks)
+    assert v["ts_violations"] == 1
+    assert any("ordering" in i for i in v["issues"])
+
+
 def test_csv_source_feeds_pipeline(spark, tmp_path):
     """Round-trip: a reference-shaped CSV drives the bar aggregation."""
     from forex_feature_generator_spark import synth

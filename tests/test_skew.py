@@ -18,11 +18,16 @@ def test_salted_equals_unsalted(spark, chunk_bars, seed, cache):
     ticks = synth.gen_ticks(n_sources=2, ticks_per_source=15000, hot_sources=1,
                             hot_factor=2, seed=seed, mean_gap_s=6.0)
     sdf = spark.createDataFrame(ticks)
+    conf_key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    conf_before = spark.conf.get(conf_key)
     plain = (epipe.run_pipeline(spark, sdf)
              .orderBy("source", "ts_us").toPandas())
     salted = (eskew.run_pipeline_salted(spark, sdf, chunk_bars=chunk_bars,
                                         cache_ticks=cache)
               .orderBy("source", "ts_us").toPandas())
+    # the self-join heuristic override is scoped to the fusion-join
+    # construction — no session-global conf mutation survives the run
+    assert spark.conf.get(conf_key) == conf_before == "true"
     assert len(plain) == len(salted) and len(plain) > 1000
     assert (plain["ts_us"].to_numpy() == salted["ts_us"].to_numpy()).all()
     assert (plain["label"].to_numpy() == salted["label"].to_numpy()).all()
