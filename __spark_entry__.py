@@ -1063,6 +1063,48 @@ FROM lineitem, c
 """
 
 
+def q43_bpe_encode(spark, sf_dir):
+    """Real BPE tokenization against the frozen merge table (ops/bpe.py):
+    token count + the full id sequence (csv-joined for a stable cross-engine
+    hash). The merge table is constant-folded into a chain of JVM `replace`
+    expressions — no UDF, no shuffle; the oracle runs the IDENTICAL replace
+    chain in DuckDB."""
+    from forex_feature_generator_spark.ops import bpe as BPE
+    docs = _load(spark, sf_dir, "documents")
+    enc = BPE.bpe_encode(docs)
+    return enc.select("doc_id", "n_bpe_tokens",
+                      F.array_join("token_ids", ",").alias("ids_csv"))
+
+
+def _sql_q43() -> str:
+    from forex_feature_generator_spark.ops.bpe import MERGES, VOCAB
+    s = "s0"
+    for a, b in MERGES:
+        s = f"replace({s}, ',{a},,{b},', ',{a}{b},')"
+    case = "CASE x " + " ".join(
+        f"WHEN '{sym}' THEN {i}" for sym, i in VOCAB.items()) + " END"
+    return f"""
+WITH n0 AS (
+  SELECT doc_id,
+         replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ', '_') AS t
+  FROM documents),
+w AS (SELECT doc_id, regexp_replace(t, '(.)', ',\\1,', 'g') AS s0 FROM n0),
+m AS (SELECT doc_id, {s} AS s FROM w)
+SELECT doc_id,
+       (CASE WHEN length(s) = 0 THEN 0
+             ELSE len(string_split(substr(s, 2, length(s) - 2), ',,'))
+        END)::BIGINT AS n_bpe_tokens,
+       CASE WHEN length(s) = 0 THEN ''
+            ELSE array_to_string(
+                   list_transform(
+                     string_split(substr(s, 2, length(s) - 2), ',,'),
+                     x -> {case}), ',')
+       END AS ids_csv
+FROM m
+"""
+
+
 def q41_session_window(spark, sf_dir):
     """Gap-based session AGGREGATION via F.session_window (the batch form of
     the streaming sessionizer): one row per session with start / end
@@ -1287,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_multimodal_resize": q40_multimodal_resize,
         "q41_session_window": q41_session_window,
         "q42_quantile_binning": q42_quantile_binning,
+        "q43_bpe_encode": q43_bpe_encode,
     }
 
 
@@ -1334,4 +1377,5 @@ def oracle_sql() -> dict[str, str]:
         "q40_multimodal_resize": _sql_q40(),
         "q41_session_window": SQL_Q41,
         "q42_quantile_binning": SQL_Q42,
+        "q43_bpe_encode": _sql_q43(),
     }

@@ -20,13 +20,26 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 ROLL_P = (1 << 55) - 55
 
 
-def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish regex token estimate (letters / digits /
-    punctuation runs split apart, like a byte-pair pre-tokenizer)."""
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 bpe: str = "estimate") -> DataFrame:
+    """Whitespace tokens + a BPE token count.
+
+    bpe="estimate" (default, the quality-signal path): a pre-tokenizer-style
+    regex count (letters / digits / punctuation runs split apart) — cheap,
+    vocab-free. bpe="vocab": the REAL byte-pair encoding count against the
+    frozen merge table in ops/bpe.py (chained JVM replace, still no Python)."""
     ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).cast("long")
+    if bpe == "vocab":
+        from .bpe import _encoded_string
+        s = _encoded_string(F.col(text_col))
+        n_syms = (F.length(s) - F.length(F.replace(s, F.lit(",,"), F.lit(",")))
+                  + F.lit(1))
+        bpe_cnt = F.when(F.length(s) == 0, F.lit(0)).otherwise(n_syms).cast("long")
+    else:
+        bpe_cnt = F.size(F.regexp_extract_all(F.col(text_col),
+                                              F.lit(BPE_ISH_RE), 0)).cast("long")
     return (docs.withColumn("n_ws_tokens", ws)
-            .withColumn("n_bpe_tokens", bpe))
+            .withColumn("n_bpe_tokens", bpe_cnt))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,95 @@
+"""BPE encoder correctness: the Spark chained-replace encoder must equal the
+CLASSIC byte-pair-encoding algorithm (repeatedly merge the lowest-rank
+adjacent pair — the GPT-2 `bpe()` loop), implemented here independently.
+Equivalence holds because the merge table is valid (operands precede
+outputs, outputs distinct) — the property every learned vocab has."""
+
+import re
+
+import pytest
+
+from forex_feature_generator_spark.ops import bpe as B
+
+
+def classic_bpe(text: str) -> list[str]:
+    """Independent reference: the canonical encode loop — find the
+    lowest-rank pair present anywhere, merge all its occurrences
+    left-to-right, repeat until no ranked pair remains."""
+    ranks = {pair: i for i, pair in enumerate(B.MERGES)}
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().replace(" ", "_")
+    syms = list(t)
+    while True:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = [p for p in pairs if p in ranks]
+        if not ranked:
+            return syms
+        a, b = min(ranked, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "this is the thing that matters most of all",
+    "aaa and and the theology of another",            # overlapping merges
+    "To be, or not to be: that is the question!",     # punctuation + case
+    "inginging thethethe",                            # repeated merge chains
+    "x",                                              # single char
+    "ratatat attitude at the outer rim",              # at/it/ou chains
+    "123 mixed w1th d1g1ts and s0urces",
+    "...",                                            # normalizes to empty
+    "stop the merger of south east standings",
+]
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_sequential_equals_classic(text):
+    """The sequential-by-rank encoder (what the Spark replace chain
+    implements) IS classic BPE on a valid merge table."""
+    assert B.encode_py(text) == classic_bpe(text)
+
+
+def test_vocab_closed():
+    """Every symbol the encoder can emit has a vocab id (closed alphabet:
+    normalization restricts input to [a-z0-9_])."""
+    for t in TEXTS:
+        for s in B.encode_py(t):
+            assert s in B.VOCAB, s
+
+
+def test_spark_matches_classic(spark):
+    """End-to-end: the JVM chained-replace encoder vs classic, ids and
+    counts, including the empty-after-normalization doc."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    got = {r["doc_id"]: r for r in B.bpe_encode(docs).collect()}
+    for i, t in enumerate(TEXTS):
+        syms = classic_bpe(t)
+        exp_ids = [B.VOCAB[s] for s in syms]
+        assert got[i]["n_bpe_tokens"] == len(syms), t
+        assert got[i]["token_ids"] == exp_ids, t
+
+
+def test_token_counts_vocab_mode(spark):
+    """ops.text.token_counts(bpe='vocab') reports the real BPE count."""
+    from forex_feature_generator_spark.ops import text as TXT
+    docs = spark.createDataFrame([(0, TEXTS[0])], "doc_id int, text string")
+    row = TXT.token_counts(docs, bpe="vocab").collect()[0]
+    assert row["n_bpe_tokens"] == len(classic_bpe(TEXTS[0]))
+
+
+def test_merge_table_valid():
+    """The sequential==classic equivalence precondition, asserted directly:
+    operands are base symbols or earlier outputs; outputs distinct."""
+    known = set(B.BASE_SYMBOLS)
+    for a, b in B.MERGES:
+        assert a in known and b in known, (a, b)
+        assert a + b not in known, (a, b)
+        known.add(a + b)
