@@ -25,6 +25,80 @@ from pyspark.sql import functions as F
 
 US_PER_MIN = 60_000_000
 
+# one day of M1 bars per ordering bucket (<=1440 rows per in-bucket sort)
+ORDER_BUCKET_MINUTES = 1440
+
+
+def with_ordered_neighbors(bars: DataFrame,
+                           prev_cols: dict[str, str] | None = None,
+                           next_cols: dict[str, str] | None = None,
+                           with_index: bool = False,
+                           bucket_minutes: int | None = None) -> DataFrame:
+    """lag / lead / row_number over (source, bar_ts_us) order WITHOUT a
+    per-source global sort — the bucketed-range escape hatch for the last
+    partitionBy(source) windows (SURVEY §4 axis B; engine/skew.py intro).
+
+    Shape: bars are windowed within (source, time-bucket) — every sort task
+    is bounded by the bucket size (<=1440 M1 bars/day) no matter how hot the
+    source — then a ONE-ROW-PER-BUCKET summary table (|bars|/1440) carries
+    each bucket's first/last values, cumulative row offsets, and the
+    neighbouring buckets' boundary values via small per-source windows; a
+    co-partitioned equi-join on (source, bucket) patches the bucket-edge rows
+    and adds the global index. prev/next source columns must be non-null
+    (first_seq / close are), so a null lag/lead means 'bucket edge'.
+
+    prev_cols / next_cols: {output_name: source_column}."""
+    prev_cols = prev_cols or {}
+    next_cols = next_cols or {}
+    # read at call time so tests can shrink the bucket to force boundaries
+    bucket_us = (bucket_minutes or ORDER_BUCKET_MINUTES) * US_PER_MIN
+    b = bars.withColumn("__bkt", F.floor(F.col("bar_ts_us") / F.lit(bucket_us)))
+    w = Window.partitionBy("source", "__bkt").orderBy("bar_ts_us")
+    proj = [F.lead(src).over(w).alias(f"__n_{out}")
+            for out, src in next_cols.items()]
+    proj += [F.lag(src).over(w).alias(f"__p_{out}")
+             for out, src in prev_cols.items()]
+    proj.append(F.row_number().over(w).alias("__rn"))
+    b = b.select("*", *proj)
+
+    first_struct = F.struct(*[F.col(src).alias(out)
+                              for out, src in next_cols.items()]) \
+        if next_cols else F.struct(F.lit(0).alias("__x"))
+    last_struct = F.struct(*[F.col(src).alias(out)
+                             for out, src in prev_cols.items()]) \
+        if prev_cols else F.struct(F.lit(0).alias("__x"))
+    summary = (bars
+               .withColumn("__bkt", F.floor(F.col("bar_ts_us") / F.lit(bucket_us)))
+               .groupBy("source", "__bkt")
+               .agg(F.count(F.lit(1)).alias("__cnt"),
+                    F.min_by(first_struct, "bar_ts_us").alias("__firstv"),
+                    F.max_by(last_struct, "bar_ts_us").alias("__lastv")))
+    # per-source windows over the SUMMARY table only: one row per
+    # source-bucket (~1/1440th of the bars), a bounded sort even for a
+    # pathological source
+    wb = Window.partitionBy("source").orderBy("__bkt")
+    summary = summary.select(
+        "source", "__bkt", "__cnt",
+        F.lead("__firstv").over(wb).alias("__nextb"),
+        F.lag("__lastv").over(wb).alias("__prevb"),
+        (F.sum("__cnt").over(wb) - F.col("__cnt")).alias("__offset"))
+
+    b = b.join(summary, ["source", "__bkt"])
+    for out in next_cols:
+        b = b.withColumn(out, F.when(F.col("__rn") == F.col("__cnt"),
+                                     F.col(f"__nextb.{out}"))
+                         .otherwise(F.col(f"__n_{out}")))
+    for out in prev_cols:
+        b = b.withColumn(out, F.when(F.col("__rn") == 1,
+                                     F.col(f"__prevb.{out}"))
+                         .otherwise(F.col(f"__p_{out}")))
+    if with_index:
+        b = b.withColumn("bar_index",
+                         (F.col("__offset") + F.col("__rn") - 1).cast("int"))
+    drop = (["__bkt", "__rn", "__cnt", "__nextb", "__prevb", "__offset"]
+            + [f"__n_{o}" for o in next_cols] + [f"__p_{o}" for o in prev_cols])
+    return b.drop(*drop)
+
 
 def with_tick_direction(ticks: DataFrame) -> DataFrame:
     """Adds prev-bid up/down flags. `seq` is the per-source arrival order; use
@@ -43,7 +117,8 @@ def with_seq(ticks: DataFrame) -> DataFrame:
     return ticks.withColumn("seq", F.row_number().over(w) - F.lit(1))
 
 
-def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int) -> DataFrame:
+def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int,
+                           bucketed_order: bool = False) -> DataFrame:
     """ALL bars including the final not-yet-completed one, carrying
     spread_sum and first_ts_us so higher timeframes can be DERIVED from this
     output (bars_from_lower) instead of re-scanning + re-shuffling the full
@@ -89,16 +164,22 @@ def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int) -> DataFrame:
                      "x -> x))").cast("long")
     g = g.withColumn("__up_in", up_in).withColumn("__down_in", down_in).drop("__tb")
     # boundary: the bar's first tick vs the previous bar's close (the very
-    # first tick of a source has no direction — the _lastBid == 0 guard)
-    w = Window.partitionBy("source").orderBy("bar_ts_us")
-    prev_close = F.lag("close").over(w)
+    # first tick of a source has no direction — the _lastBid == 0 guard).
+    # bucketed_order replaces the per-source lag window with the bounded
+    # bucket-window + boundary-patch form (with_ordered_neighbors).
+    if bucketed_order:
+        g = with_ordered_neighbors(g, prev_cols={"__prev_close": "close"})
+        prev_close = F.col("__prev_close")
+    else:
+        w = Window.partitionBy("source").orderBy("bar_ts_us")
+        prev_close = F.lag("close").over(w)
     b_up = F.when(prev_close.isNotNull() & (F.col("open") > prev_close),
                   F.lit(1)).otherwise(F.lit(0))
     b_down = F.when(prev_close.isNotNull() & (F.col("open") < prev_close),
                     F.lit(1)).otherwise(F.lit(0))
     return (g.withColumn("up", (F.col("__up_in") + b_up).cast("long"))
             .withColumn("down", (F.col("__down_in") + b_down).cast("long"))
-            .drop("__up_in", "__down_in"))
+            .drop("__up_in", "__down_in", "__prev_close"))
 
 
 def bars_from_lower(partial: DataFrame, mult_minutes: int) -> DataFrame:
@@ -131,10 +212,23 @@ def bars_from_lower(partial: DataFrame, mult_minutes: int) -> DataFrame:
     )
 
 
-def finish_bars(partial: DataFrame) -> DataFrame:
+def finish_bars(partial: DataFrame, bucketed_order: bool = False) -> DataFrame:
     """Completion semantics over partial bars: a bar completes when a later
     bar's first tick exists (BarAggregator.cs:39-56), so the final partial
-    bar per source is dropped; adds bar_index and the avg spread."""
+    bar per source is dropped; adds bar_index and the avg spread.
+
+    bucketed_order=True computes the lead/row_number via the bounded
+    bucket-window form (with_ordered_neighbors) — no per-source sort task."""
+    if bucketed_order:
+        b = with_ordered_neighbors(
+            partial,
+            next_cols={"completion_seq": "first_seq",
+                       "completion_ts_us": "first_ts_us"},
+            with_index=True)
+        return (b.withColumn("avg_spread",
+                             F.col("spread_sum") / F.col("tick_volume"))
+                .filter(F.col("completion_seq").isNotNull())
+                .drop("first_ts_us", "spread_sum"))
     w = Window.partitionBy("source").orderBy("bar_ts_us")
     return (
         partial

@@ -102,7 +102,8 @@ def _labels_fn(cfg: LabelConfig):
 def run_pipeline(spark: SparkSession, ticks: DataFrame,
                  warmup_bars: int = WARMUP_BARS,
                  label_cfg: LabelConfig | None = None,
-                 cache_ticks: bool = True) -> DataFrame:
+                 cache_ticks: bool = True,
+                 bucketed_bar_order: bool = False) -> DataFrame:
     """ticks: (source, ts, bid, ask[, seq]). Returns the feature+label rows:
     (source, ts_us, <148 features>, label, timestamp)."""
     cfg = label_cfg or LabelConfig()
@@ -119,9 +120,11 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
         # (no per-source tick sort), and M5 derives from the partial M1 bars
         # (exact field composition, engine/bars.py::bars_from_lower) instead
         # of a second full-tick window + shuffle
-        base = ebars.aggregate_bars_partial(ticks, 1).persist()
-        m1 = ebars.finish_bars(base)
-        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5))
+        base = ebars.aggregate_bars_partial(
+            ticks, 1, bucketed_order=bucketed_bar_order).persist()
+        m1 = ebars.finish_bars(base, bucketed_order=bucketed_bar_order)
+        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5),
+                               bucketed_order=bucketed_bar_order)
 
         emissions = (m1.filter(F.col("bar_index") >= warmup_bars)
                      .select("source", F.col("bar_ts_us").alias("ts_us"),

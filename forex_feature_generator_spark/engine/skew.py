@@ -35,8 +35,14 @@ Residual per-source work: NOTHING tick-sized sorts per source anymore
 (direction lives in the bar groupBy); the remaining partitionBy(source)
 windows (bar completion/index, chunk bounds) run over BARS — 1-3 orders of
 magnitude smaller than ticks (a decade of minute bars is ~5M narrow rows,
-one bounded sort task). If even that binds, the completion lead/row_number
-can move to the same bucketed-range pattern used by the replication joins."""
+one bounded sort task). If even that binds, pass bucketed_bar_order=True:
+engine/bars.py::with_ordered_neighbors computes the completion lead /
+bar_index / boundary lag through day-bucket windows plus a per-bucket
+boundary patch — every sort task bounded by 1440 rows regardless of source
+heat, bit-identical results (tests/test_bars.py, test_skew.py). Default off:
+at bench scale the extra join/shuffle measures ~20% slower than the
+per-source window, which is cheap there; flip it when a single source's bar
+count makes one sort task the straggler."""
 
 from __future__ import annotations
 
@@ -135,7 +141,8 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
                         chunk_bars: int = 4000,
                         warmup_bars: int = WARMUP_BARS,
                         label_cfg: LabelConfig | None = None,
-                        cache_ticks: bool = True) -> DataFrame:
+                        cache_ticks: bool = True,
+                        bucketed_bar_order: bool = False) -> DataFrame:
     """Halo-chunked variant of engine.pipeline.run_pipeline — identical
     results, hot sources split into bounded parallel tasks.
 
@@ -154,9 +161,11 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
     with unambiguous_self_join(spark):
         # one tick-sized pass (see engine/pipeline.py): direction inside the bar
         # groupBy, M5 derived from the persisted partial M1 bars
-        base = ebars.aggregate_bars_partial(ticks, 1).persist()
-        m1 = ebars.finish_bars(base).persist()
-        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5)).persist()
+        base = ebars.aggregate_bars_partial(
+            ticks, 1, bucketed_order=bucketed_bar_order).persist()
+        m1 = ebars.finish_bars(base, bucketed_order=bucketed_bar_order).persist()
+        m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5),
+                               bucketed_order=bucketed_bar_order).persist()
 
         # The bounds table is tiny (one row per source-chunk) and STAYS
         # distributed. The RDD round-trip breaks the shared lineage with m1/m5

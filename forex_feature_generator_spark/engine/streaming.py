@@ -16,10 +16,15 @@ module provides the streaming equivalents of the batch operators:
     41-47). Replaying a bounded input yields bit-identical bars to the batch
     path including the direction columns (tests/test_streaming.py).
   * streaming_sessionize — gap-based sessions via F.session_window.
-  * The feature/label kernels are batch-shaped by design; the streaming
-    deployment runs them per micro-batch via foreachBatch over the FINAL
-    bars (the 500-bar trailing window is carried by the snapshot table, see
-    engine/snapshots.py).
+  * streaming_features_stateful — the FULL 148-feature kernel as a stateful
+    stream: per source the state carries the last-bid, the open partial
+    M1/M5 bars, and a 620-bar HALO tail of completed M1/M5 bars (the same
+    bound the halo-chunked batch path uses, engine/skew.py) — each
+    micro-batch completes bars incrementally and runs the batch feature
+    kernel (engine/features.py::compute_features_pdf) over tail+new with
+    global index offsets, emitting exactly the new emissions. Replay parity
+    with run_pipeline is exact (tests/test_streaming.py). No foreachBatch,
+    no snapshot table: state is the trailing window.
 
 All operators use event time only — no wall clock — so replaying a bounded
 input through the stream gives bit-identical bars to the batch path
@@ -280,6 +285,198 @@ def streaming_labels_stateful(ticks: DataFrame, tf_minutes: int = 1,
 
     return (ticks.groupBy("source")
             .applyInPandasWithState(fn, LABEL_OUT_SCHEMA, _LABEL_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+# --- stateful streaming feature kernel -------------------------------------
+
+FEATURE_HALO = 620            # = engine/skew.py M1_HALO / M5_HALO
+
+# per-timeframe tail: 10 parallel arrays (completed-bar columns) + the open
+# partial bar split into typed arrays (d: open/high/low/close/sp_sum/sp_max/
+# sp_min; l: bar_ts/vol/up/down/first_seq; empty = no partial yet)
+def _tf_state_fields(p: str) -> list[StructField]:
+    return [
+        StructField(f"{p}_ts", ArrayType(LongType())),
+        StructField(f"{p}_open", ArrayType(DoubleType())),
+        StructField(f"{p}_high", ArrayType(DoubleType())),
+        StructField(f"{p}_low", ArrayType(DoubleType())),
+        StructField(f"{p}_close", ArrayType(DoubleType())),
+        StructField(f"{p}_vol", ArrayType(LongType())),
+        StructField(f"{p}_up", ArrayType(LongType())),
+        StructField(f"{p}_down", ArrayType(LongType())),
+        StructField(f"{p}_spread", ArrayType(DoubleType())),
+        StructField(f"{p}_comp", ArrayType(LongType())),
+        StructField(f"{p}_done", LongType()),
+        StructField(f"{p}_tail_start", LongType()),
+        StructField(f"{p}p_d", ArrayType(DoubleType())),
+        StructField(f"{p}p_l", ArrayType(LongType())),
+    ]
+
+
+_FEAT_STATE_SCHEMA = StructType(
+    [StructField("last_bid", DoubleType()),
+     StructField("tick_count", LongType())]
+    + _tf_state_fields("m1") + _tf_state_fields("m5"))
+
+_TAIL_COLS = ["ts", "open", "high", "low", "close", "vol", "up", "down",
+              "spread", "comp"]
+
+
+def _accumulate_tf(bar_ts, bid, spread, up_t, down_t, seq0, carry):
+    """Vectorized per-micro-batch bar accumulation for one timeframe.
+    carry/new_carry: (bar_ts, open, high, low, close, vol, up, down, sp_sum,
+    sp_max, sp_min, first_seq) or None. Returns (completed rows as that
+    12-tuple + completion_seq appended, new_carry)."""
+    starts = np.flatnonzero(np.concatenate([[True], bar_ts[1:] != bar_ts[:-1]]))
+    ends = np.append(starts[1:], len(bid))
+    groups = []
+    for s, e in zip(starts, ends):
+        groups.append([int(bar_ts[s]), float(bid[s]),
+                       float(bid[s:e].max()), float(bid[s:e].min()),
+                       float(bid[e - 1]), int(e - s),
+                       int(up_t[s:e].sum()), int(down_t[s:e].sum()),
+                       float(spread[s:e].sum()), float(spread[s:e].max()),
+                       float(spread[s:e].min()), int(seq0 + s)])
+    if carry is not None:
+        if groups and groups[0][0] == carry[0]:
+            g = groups[0]
+            groups[0] = [carry[0], carry[1], max(g[2], carry[2]),
+                         min(g[3], carry[3]), g[4], g[5] + carry[5],
+                         g[6] + carry[6], g[7] + carry[7], g[8] + carry[8],
+                         max(g[9], carry[9]), min(g[10], carry[10]),
+                         carry[11]]
+        else:
+            groups.insert(0, list(carry))
+    done = []
+    for i in range(len(groups) - 1):
+        # the completing tick is the NEXT bar's first tick (its seq)
+        done.append(groups[i] + [groups[i + 1][11]])
+    return done, groups[-1] if groups else None
+
+
+def streaming_features_stateful(ticks: DataFrame,
+                                warmup_bars: int = 260) -> DataFrame:
+    """The full 148-feature pipeline as ONE stateful streaming operator
+    (SURVEY §2.9 — closes the round-2 'batch-shaped features' gap): per
+    source the state is (last_bid, tick counter, open M1/M5 partial bars,
+    and a FEATURE_HALO-deep tail of completed M1/M5 bars). Each micro-batch
+    completes bars exactly like the batch aggregation (a bar completes when
+    a later tick arrives; up/down direction crosses bar AND batch
+    boundaries), appends them to the tails, runs the batch kernel
+    (compute_features_pdf) with global index offsets, and emits ONLY the
+    newly completed emissions — bit-identical to run_pipeline's feature
+    columns on replay. State is bounded (~2x620 bars x 10 scalars per
+    source); the halo argument is the same as engine/skew.py's (absolute
+    warm-up/run-count gates live below bar 560, which always precede any
+    trimming). Labels stream separately (streaming_labels_stateful).
+    Use outputMode('append')."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from .features import compute_features_pdf
+    from .pipeline import FEATURES_SCHEMA
+
+    tf1_us = 1 * US_PER_MIN
+    tf5_us = 5 * US_PER_MIN
+    out_cols = [c.strip().split(" ")[0].strip("`")
+                for c in FEATURES_SCHEMA.split(", ")]
+
+    def fn(key, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("ts")
+        us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        bid = pdf["bid"].to_numpy("float64")
+        ask = pdf["ask"].to_numpy("float64")
+        spread = ask - bid
+
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = ([float("nan"), 0]
+                  + ([[]] * 10 + [0, 0, [], []]) * 2)
+        last_bid, tick_count = st[0], st[1]
+        tails, dones, starts_g, carries = [], [], [], []
+        for off in (2, 16):
+            block = st[off:off + 14]
+            tails.append({c: list(block[i]) for i, c in enumerate(_TAIL_COLS)})
+            dones.append(block[10])
+            starts_g.append(block[11])
+            pd_, pl = block[12], block[13]
+            carries.append(None if not len(pl) else
+                           [pl[0], pd_[0], pd_[1], pd_[2], pd_[3], pl[1],
+                            pl[2], pl[3], pd_[4], pd_[5], pd_[6], pl[4]])
+
+        prev = np.concatenate([[last_bid], bid[:-1]])
+        finite_prev = ~np.isnan(prev)
+        up_t = (finite_prev & (bid > prev)).astype("int64")
+        down_t = (finite_prev & (bid < prev)).astype("int64")
+
+        new_done = []
+        for k, tf_us in enumerate((tf1_us, tf5_us)):
+            bar_ts = us - us % tf_us
+            done, carry = _accumulate_tf(bar_ts, bid, spread, up_t, down_t,
+                                         tick_count, carries[k])
+            carries[k] = carry
+            for g in done:
+                t = tails[k]
+                t["ts"].append(g[0]); t["open"].append(g[1])
+                t["high"].append(g[2]); t["low"].append(g[3])
+                t["close"].append(g[4]); t["vol"].append(g[5])
+                t["up"].append(g[6]); t["down"].append(g[7])
+                t["spread"].append(g[8] / g[5]); t["comp"].append(g[12])
+            new_done.append(len(done))
+        last_bid = float(bid[-1])
+        tick_count += len(bid)
+
+        out = None
+        m1_prev_done = dones[0]
+        dones[0] += new_done[0]
+        dones[1] += new_done[1]
+        if new_done[0] and dones[0] > warmup_bars:
+            def frame(k):
+                t = tails[k]
+                return pd.DataFrame({
+                    "source": key[0], "bar_ts_us": np.asarray(t["ts"], "int64"),
+                    "open": t["open"], "high": t["high"], "low": t["low"],
+                    "close": t["close"],
+                    "tick_volume": np.asarray(t["vol"], "int64"),
+                    "up": np.asarray(t["up"], "int64"),
+                    "down": np.asarray(t["down"], "int64"),
+                    "avg_spread": t["spread"],
+                    "completion_seq": np.asarray(t["comp"], "int64")})
+            feats = compute_features_pdf(
+                frame(0), frame(1), warmup_bars=warmup_bars,
+                bar_index_offset=starts_g[0], m5_index_offset=starts_g[1])
+            if len(feats):
+                feats = feats[feats["bar_index"] >= m1_prev_done]
+            if len(feats):
+                out = feats.drop(columns=["bar_index"])[out_cols]
+
+        # trim tails to the halo (bounded state)
+        new_state = [last_bid, tick_count]
+        for k in range(2):
+            t = tails[k]
+            cut = max(0, len(t["ts"]) - FEATURE_HALO)
+            if cut:
+                for c in _TAIL_COLS:
+                    t[c] = t[c][cut:]
+                starts_g[k] += cut
+            carry = carries[k]
+            pd_ = [] if carry is None else [carry[1], carry[2], carry[3],
+                                            carry[4], carry[8], carry[9],
+                                            carry[10]]
+            pl = [] if carry is None else [carry[0], carry[5], carry[6],
+                                           carry[7], carry[11]]
+            new_state += [t[c] for c in _TAIL_COLS] + [dones[k], starts_g[k],
+                                                       pd_, pl]
+        state.update(tuple(new_state))
+        if out is not None:
+            yield out
+
+    out_schema = StructType.fromDDL(FEATURES_SCHEMA)
+    return (ticks.groupBy("source")
+            .applyInPandasWithState(fn, out_schema, _FEAT_STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
 
 

@@ -43,7 +43,7 @@ def _fake_decode(digest: bytes, modality: str) -> tuple:
     """Deterministic stand-in for the real decoder: derives plausible
     dimensions from the sha256 content digest so tests are stable AND the
     whole stub is a pure function of the bytes — expressible in the DuckDB
-    oracle (q23). Replace with PIL/librosa/pyav when available."""
+    oracle (q23)."""
     h = digest
     return (
         64 + h[0] % 192 if modality in ("image", "video") else None,
@@ -53,20 +53,39 @@ def _fake_decode(digest: bytes, modality: str) -> tuple:
     )
 
 
-def decode_assets(assets: DataFrame, strict: bool = False) -> DataFrame:
+def fake_decoder(content: bytes, modality: str) -> tuple:
+    """The default `decoder=` callable. INJECTION SEAM for real media
+    decoding: pass any callable (content: bytes, modality: str) ->
+    (width, height, n_frames, sample_rate) — a PIL/pyav/librosa-backed
+    implementation drops into decode_assets / resize_assets / frame_sample
+    without touching call sites (tests/test_ops.py proves the injection
+    with a header-parsing decoder)."""
+    return _fake_decode(hashlib.sha256(content).digest(), modality)
+
+
+def _resolve_decoder(decoder, strict: bool, what: str):
+    if decoder is not None:
+        return decoder
+    if strict:
+        raise NotImplementedError(
+            f"real {what} requires media libraries absent in this "
+            "environment — inject one via decoder=")
+    return fake_decoder
+
+
+def decode_assets(assets: DataFrame, strict: bool = False,
+                  decoder=None) -> DataFrame:
     """Arrow-batched metadata extraction. The per-batch pandas work is the
     ONLY Python in this module (columnar list comprehensions, no iterrows);
-    everything upstream/downstream is columnar."""
+    everything upstream/downstream is columnar. decoder: optional real
+    decoder callable (see fake_decoder); strict without one raises."""
+    dec = _resolve_decoder(decoder, strict, "media decoding")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict and len(pdf):
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries "
-                    "not present in this environment")
             contents = [bytes(c or b"") for c in pdf["content"]]
             digests = [hashlib.sha256(c).digest() for c in contents]
-            metas = [_fake_decode(d, m) for d, m in zip(digests, pdf["modality"])]
+            metas = [dec(c, m) for c, m in zip(contents, pdf["modality"])]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"].to_numpy(),
                 "modality": pdf["modality"].to_numpy(),
@@ -93,24 +112,20 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_assets(assets: DataFrame, target_w: int = 64, target_h: int = 64,
-                  strict: bool = False) -> DataFrame:
-    """Aspect-fit resize plumbing (never upscales). The pixel work is the
-    stubbed part (no image libs in the sandbox): source dims come from the
-    deterministic decode and the 'resized' content is keyed as
-    sha256(hex(sha256(content)) + ':WxH') — every output column is a pure
-    function of the bytes, so the whole transform is oracle-checkable; the
-    Arrow batch shape and schema are what a PIL-backed implementation
-    drops into."""
+                  strict: bool = False, decoder=None) -> DataFrame:
+    """Aspect-fit resize plumbing (never upscales). Source dims come from
+    the decoder (injectable — see fake_decoder); the pixel work itself stays
+    keyed as sha256(hex(sha256(content)) + ':WxH') so every output column is
+    a pure function of the bytes and oracle-checkable; the Arrow batch shape
+    and schema are what a PIL-backed implementation drops into."""
+    dec = _resolve_decoder(decoder, strict, "image resizing")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict and len(pdf):
-                raise NotImplementedError(
-                    "real image resizing requires PIL/turbojpeg, absent here")
-            digests = [hashlib.sha256(bytes(c or b"")).digest()
-                       for c in pdf["content"]]
-            dims = [_fake_decode(d, m)[:2]
-                    for d, m in zip(digests, pdf["modality"])]
+            contents = [bytes(c or b"") for c in pdf["content"]]
+            digests = [hashlib.sha256(c).digest() for c in contents]
+            dims = [dec(c, m)[:2]
+                    for c, m in zip(contents, pdf["modality"])]
             rows = []
             for d, (w, h) in zip(digests, dims):
                 if w is None:
@@ -140,12 +155,14 @@ FRAME_SCHEMA = StructType([
 ])
 
 
-def frame_sample(assets: DataFrame, k: int = 8) -> DataFrame:
+def frame_sample(assets: DataFrame, k: int = 8, decoder=None) -> DataFrame:
     """Uniform frame sampling for video assets: k evenly spaced frame
     indices floor(i * n_frames / k), deduplicated for short clips —
     the standard vision-pretraining sampling plan. Frame COUNTS come from
-    the deterministic decode stub; the plan explodes to one row per sampled
-    frame (what a real decoder would feed the feature extractor)."""
+    the decoder (injectable — see fake_decoder); the plan explodes to one
+    row per sampled frame (what a real decoder would feed the feature
+    extractor)."""
+    dec = decoder or fake_decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -154,8 +171,7 @@ def frame_sample(assets: DataFrame, k: int = 8) -> DataFrame:
                                  pdf["modality"]):
                 if m != "video":
                     continue
-                digest = hashlib.sha256(bytes(c or b"")).digest()
-                n = 1 + digest[2] % 300
+                n = dec(bytes(c or b""), m)[2]
                 for idx in sorted({i * n // k for i in range(k)}):
                     out["asset_id"].append(aid)
                     out["n_frames"].append(n)

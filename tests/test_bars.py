@@ -77,3 +77,41 @@ def test_market_state(spark, small_ticks):
         exp = _py_market_state(bars["tick_volume"].tolist(),
                                bars["high"].tolist(), bars["low"].tolist())
         assert list(g["market_state"]) == exp, src
+
+
+def test_bucketed_order_bit_identical(spark, small_ticks, monkeypatch):
+    """The bucketed (windowless) bar-ordering path must be bit-identical to
+    the per-source-window path, including across bucket boundaries — the
+    bucket is shrunk to 30 minutes so every source spans many buckets and
+    the boundary patches (next bucket's first_seq, previous bucket's close,
+    cumulative index offsets) are all exercised."""
+    monkeypatch.setattr(ebars, "ORDER_BUCKET_MINUTES", 30)
+    sdf = spark.createDataFrame(small_ticks)
+    for tf in (1, 5):
+        base_w = ebars.aggregate_bars_partial(sdf, tf)
+        base_b = ebars.aggregate_bars_partial(sdf, tf, bucketed_order=True)
+        a = (ebars.finish_bars(base_w)
+             .orderBy("source", "bar_ts_us").toPandas())
+        b = (ebars.finish_bars(base_b, bucketed_order=True)
+             .orderBy("source", "bar_ts_us").toPandas())
+        assert len(a) == len(b) > 50
+        b = b[a.columns]
+        for c in a.columns:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), (tf, c)
+
+
+def test_bucketed_order_derived_m5(spark, small_ticks, monkeypatch):
+    """bars_from_lower + bucketed finish must also match (M5 derives from
+    bucketed partial M1 bars)."""
+    monkeypatch.setattr(ebars, "ORDER_BUCKET_MINUTES", 60)
+    sdf = spark.createDataFrame(small_ticks)
+    base_w = ebars.aggregate_bars_partial(sdf, 1)
+    base_b = ebars.aggregate_bars_partial(sdf, 1, bucketed_order=True)
+    a = (ebars.finish_bars(ebars.bars_from_lower(base_w, 5))
+         .orderBy("source", "bar_ts_us").toPandas())
+    b = (ebars.finish_bars(ebars.bars_from_lower(base_b, 5), bucketed_order=True)
+         .orderBy("source", "bar_ts_us").toPandas())
+    b = b[a.columns]
+    assert len(a) == len(b) > 10
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c

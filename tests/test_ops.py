@@ -220,3 +220,41 @@ def test_multimodal_strict_raises(spark, docs):
     assets = MM.documents_as_assets(docs.limit(2))
     with pytest.raises(Exception):
         MM.decode_assets(assets, strict=True).collect()
+
+
+def test_multimodal_decoder_injection(spark):
+    """A 'real' decoder (here: parses a WxH:F:R header out of the bytes)
+    drops into decode/resize/frame_sample via decoder= without touching any
+    other call-site code — the PIL/pyav integration seam."""
+    import pandas as pd
+
+    def header_decoder(content: bytes, modality: str) -> tuple:
+        w, h, nf, sr = (int(x) for x in content.decode().split(":"))
+        return (w if modality in ("image", "video") else None,
+                h if modality in ("image", "video") else None,
+                nf if modality == "video" else None,
+                sr if modality == "audio" else None)
+
+    pdf = pd.DataFrame({
+        "asset_id": ["a", "b", "c"],
+        "modality": ["image", "video", "audio"],
+        "content": [b"640:480:0:0", b"1920:1080:10:0", b"0:0:0:44100"],
+        "mime": ["x"] * 3})
+    assets = spark.createDataFrame(pdf, schema=MM.ASSET_SCHEMA)
+
+    dec = {r["asset_id"]: r for r in
+           MM.decode_assets(assets, decoder=header_decoder).collect()}
+    assert (dec["a"]["width"], dec["a"]["height"]) == (640, 480)
+    assert dec["b"]["n_frames"] == 10
+    assert dec["c"]["sample_rate"] == 44100
+
+    rs = {r["asset_id"]: r for r in
+          MM.resize_assets(assets, 64, 64, decoder=header_decoder).collect()}
+    # 640x480 aspect-fit into 64x64 -> 64x48; never upscale
+    assert (rs["a"]["width"], rs["a"]["height"]) == (64, 48)
+    assert rs["c"]["width"] is None           # audio has no dims
+
+    fr = MM.frame_sample(assets, k=4, decoder=header_decoder).toPandas()
+    assert set(fr["asset_id"]) == {"b"}
+    assert sorted(fr["frame_idx"]) == [0, 2, 5, 7]   # floor(i*10/4)
+    assert (fr["n_frames"] == 10).all()

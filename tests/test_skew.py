@@ -10,11 +10,12 @@ from forex_feature_generator_spark.engine import skew as eskew
 from forex_feature_generator_spark.oracle import pipeline as opipe
 
 
-@pytest.mark.parametrize("chunk_bars,seed,cache", [
-    (300, 17, True),     # halos genuinely truncate the prefix
-    (137, 5, False),     # odd chunk size + uncached-ticks (100 TB posture)
+@pytest.mark.parametrize("chunk_bars,seed,cache,bucketed", [
+    (300, 17, True, False),   # halos genuinely truncate the prefix
+    (137, 5, False, False),   # odd chunk + uncached ticks (100 TB posture)
+    (300, 17, True, True),    # bucketed bar ordering (no per-source bar sort)
 ])
-def test_salted_equals_unsalted(spark, chunk_bars, seed, cache):
+def test_salted_equals_unsalted(spark, chunk_bars, seed, cache, bucketed):
     ticks = synth.gen_ticks(n_sources=2, ticks_per_source=15000, hot_sources=1,
                             hot_factor=2, seed=seed, mean_gap_s=6.0)
     sdf = spark.createDataFrame(ticks)
@@ -23,7 +24,8 @@ def test_salted_equals_unsalted(spark, chunk_bars, seed, cache):
     plain = (epipe.run_pipeline(spark, sdf)
              .orderBy("source", "ts_us").toPandas())
     salted = (eskew.run_pipeline_salted(spark, sdf, chunk_bars=chunk_bars,
-                                        cache_ticks=cache)
+                                        cache_ticks=cache,
+                                        bucketed_bar_order=bucketed)
               .orderBy("source", "ts_us").toPandas())
     # the self-join heuristic override is scoped to the fusion-join
     # construction — no session-global conf mutation survives the run

@@ -177,3 +177,109 @@ def test_streaming_labels_match_batch(spark, tmp_path, small_ticks):
     merged = got.merge(batch, on=["source", "ts_us"], suffixes=("_s", "_b"))
     assert len(merged) == len(got)
     assert (merged["label_s"].to_numpy() == merged["label_b"].to_numpy()).all()
+
+
+def test_streaming_features_stateful_parity(spark, tmp_path, small_ticks):
+    """The stateful streaming feature kernel == run_pipeline's feature
+    columns EXACTLY on replay (all 148 features + timestamp/completion_seq),
+    with micro-batch boundaries landing mid-bar and mid-window. The batch
+    pipeline's label column is excluded: labels stream separately
+    (streaming_labels_stateful)."""
+    import os
+    import pandas as pd
+    from forex_feature_generator_spark.engine import pipeline as epipe
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_features_stateful)
+    from forex_feature_generator_spark.oracle.pipeline import FEATURE_NAMES
+
+    src_dir = tmp_path / "ticks_feat_in"
+    src_dir.mkdir()
+    ordered = small_ticks.sort_values(["ts"]).reset_index(drop=True)
+    cuts = [0, len(ordered) // 3, 2 * len(ordered) // 3, len(ordered)]
+    for i in range(3):
+        part = ordered.iloc[cuts[i]:cuts[i + 1]]
+        path = str(src_dir / f"part{i}.parquet")
+        part.to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = spark.createDataFrame(ordered).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    out_dir = str(tmp_path / "feat_out")
+    ckpt = str(tmp_path / "feat_ckpt")
+    q = (streaming_features_stateful(stream)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = (spark.read.parquet(out_dir)
+           .orderBy("source", "ts_us").toPandas().reset_index(drop=True))
+    batch = (epipe.run_pipeline(spark, spark.createDataFrame(small_ticks))
+             .orderBy("source", "ts_us").toPandas().reset_index(drop=True))
+    # the stream cannot emit the final bars whose completing window hasn't
+    # closed? No — bars complete on the next tick, same rule as batch: the
+    # emitted SETS are identical.
+    assert len(got) == len(batch) > 300
+    np.testing.assert_array_equal(got["source"], batch["source"])
+    np.testing.assert_array_equal(got["ts_us"], batch["ts_us"])
+    np.testing.assert_array_equal(got["timestamp"], batch["timestamp"])
+    # completion_seq isn't in run_pipeline's persisted surface; check it
+    # against the batch bar stream instead
+    from pyspark.sql import functions as F
+    bars = (ebars.aggregate_bars(ebars.with_seq(
+                spark.createDataFrame(small_ticks)), 1)
+            .select("source", F.col("bar_ts_us").alias("ts_us"),
+                    "completion_seq")
+            .orderBy("source", "ts_us").toPandas())
+    merged = got.merge(bars, on=["source", "ts_us"], how="left",
+                       suffixes=("", "_bar"))
+    np.testing.assert_array_equal(merged["completion_seq"],
+                                  merged["completion_seq_bar"])
+    for c in FEATURE_NAMES:
+        np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy(),
+                                      err_msg=c)
+
+
+def test_streaming_features_halo_trim(spark, tmp_path):
+    """Parity must survive state TRIMMING: >620 completed bars per source so
+    the tail is truncated mid-stream (the 620-bar halo bound in action), with
+    4 micro-batches. Every emission after trimming must still be exact."""
+    import os
+    from forex_feature_generator_spark.engine import pipeline as epipe
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_features_stateful, FEATURE_HALO)
+    from forex_feature_generator_spark.oracle.pipeline import FEATURE_NAMES
+
+    ticks = synth.gen_ticks(n_sources=1, ticks_per_source=10000,
+                            hot_sources=0, seed=23, mean_gap_s=6.0)
+    src_dir = tmp_path / "trim_in"
+    src_dir.mkdir()
+    ordered = ticks.sort_values("ts").reset_index(drop=True)
+    cuts = [len(ordered) * i // 4 for i in range(5)]
+    for i in range(4):
+        path = str(src_dir / f"part{i}.parquet")
+        ordered.iloc[cuts[i]:cuts[i + 1]].to_parquet(path)
+        os.utime(path, (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.createDataFrame(ordered).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    out_dir, ckpt = str(tmp_path / "trim_out"), str(tmp_path / "trim_ckpt")
+    q = (streaming_features_stateful(stream)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = (spark.read.parquet(out_dir)
+           .orderBy("ts_us").toPandas().reset_index(drop=True))
+    batch = (epipe.run_pipeline(spark, spark.createDataFrame(ticks))
+             .orderBy("ts_us").toPandas().reset_index(drop=True))
+    # enough bars that the tail was genuinely cut (bars ~ minutes of data)
+    assert len(batch) > FEATURE_HALO - 260
+    assert len(got) == len(batch)
+    np.testing.assert_array_equal(got["ts_us"], batch["ts_us"])
+    for c in FEATURE_NAMES:
+        np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy(),
+                                      err_msg=c)
