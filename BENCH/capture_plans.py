@@ -140,6 +140,41 @@ def main() -> None:
         "constant-folded literal expressions, whole-stage codegen, no shuffle.",
         explain_str(norm, max_lines=40)))
 
+    # 6. BPE encode — a shuffle-free codegen'd Project (the merge table is
+    # constant-folded into the replace chain; no UDF, no exchange)
+    from forex_feature_generator_spark.ops import bpe as BPE
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    enc = BPE.bpe_encode(docs)
+    plan6 = explain_str(enc, max_lines=30)
+    assert "Exchange" not in plan6
+    assert "BatchEvalPython" not in plan6 and "ArrowEvalPython" not in plan6
+    sections.append((
+        "BPE tokenization (frozen merge table as a replace chain)",
+        "One Project over the documents scan: the 28-rule merge table is "
+        "folded into chained JVM `replace` expressions and ids come from a "
+        "codegen'd CASE chain — zero exchanges, zero Python, scan pruned to "
+        "(doc_id, text).",
+        plan6))
+
+    # 7. bucketed bar ordering — no per-source sort over bars: windows run
+    # on (source, bucket) for the bar-sized side; only the one-row-per-bucket
+    # summary uses a per-source window
+    tiny = spark.createDataFrame(
+        synth.gen_ticks(n_sources=2, ticks_per_source=2000, hot_sources=0))
+    bb = ebars.finish_bars(
+        ebars.aggregate_bars_partial(ebars.with_seq(tiny), 1,
+                                     bucketed_order=True),
+        bucketed_order=True)
+    plan7 = explain_str(bb, max_lines=70)
+    sections.append((
+        "Bucketed bar ordering (bucketed_bar_order=True)",
+        "completion lead / bar_index / boundary lag over (source, day-bucket)"
+        " windows — every bar-sized sort task bounded by 1440 rows; the only "
+        "partitionBy(source) windows run on the one-row-per-bucket summary "
+        "(|bars|/1440). The per-source-window default remains for bench "
+        "scale (see engine/skew.py).",
+        plan7))
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan review of the key operators\n\n"
                 "Captured by `python BENCH/capture_plans.py` "

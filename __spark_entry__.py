@@ -1233,6 +1233,70 @@ FROM reach GROUP BY src
 """
 
 
+def q44_dedup_keep_best(spark, sf_dir):
+    """Dedup RETENTION: after near-dup clustering, keep one representative
+    per component — the longest doc (n_chars, id-asc tiebreak); unclustered
+    docs are their own singletons. argmax via max_by on a (score, -id)
+    struct: one partial-agg groupBy, no per-component sort/window."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
+    clusters = D.dedup_clusters(pairs)
+    return D.dedup_keep_best(docs, clusters, score_col="n_chars")
+
+
+def _sql_q44() -> str:
+    return f"""
+WITH alldocs AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN ({_sql_q38()}) c ON c.id = d.doc_id),
+r AS (
+  SELECT comp, doc_id, n_chars,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY comp) AS n_members,
+         max(n_chars) OVER (PARTITION BY comp) AS best_score
+  FROM alldocs)
+SELECT comp, doc_id AS keeper_id, n_members, best_score
+FROM r WHERE rn = 1
+"""
+
+
+def q45_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: fraction of each doc's distinct word
+    3-grams that appear in a benchmark set (here: every 97th doc plays the
+    benchmark); docs >= 0.8 overlap are flagged. The benchmark shingle set
+    is broadcast — the corpus is scanned once, never self-joined."""
+    docs = _load(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return TXT.contamination(docs, benchmark, n=3, threshold=0.8)
+
+
+SQL_Q45 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+  FROM w),
+bs AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+cnt AS (
+  SELECT sh.id, count(*) AS n_shingles, count(bs.shingle) AS n_hits
+  FROM sh LEFT JOIN bs ON sh.shingle = bs.shingle
+  GROUP BY sh.id)
+SELECT d.doc_id,
+       coalesce(n_shingles, 0) AS n_shingles,
+       coalesce(n_hits, 0) AS n_hits,
+       round(coalesce(n_hits, 0) * 1.0
+             / greatest(coalesce(n_shingles, 0), 1), 6) AS contamination,
+       coalesce(n_hits, 0) * 1.0
+         / greatest(coalesce(n_shingles, 0), 1) >= 0.8 AS contaminated
+FROM documents d LEFT JOIN cnt ON cnt.id = d.doc_id
+"""
+
+
 def q37_ann_ivf(spark, sf_dir):
     """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
     centroids partition the corpus into cells, queries probe their 2 best
@@ -1330,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_session_window": q41_session_window,
         "q42_quantile_binning": q42_quantile_binning,
         "q43_bpe_encode": q43_bpe_encode,
+        "q44_dedup_keep_best": q44_dedup_keep_best,
+        "q45_decontaminate": q45_decontaminate,
     }
 
 
@@ -1378,4 +1444,6 @@ def oracle_sql() -> dict[str, str]:
         "q41_session_window": SQL_Q41,
         "q42_quantile_binning": SQL_Q42,
         "q43_bpe_encode": _sql_q43(),
+        "q44_dedup_keep_best": _sql_q44(),
+        "q45_decontaminate": SQL_Q45,
     }

@@ -142,7 +142,8 @@ def bench_features(cores: int, corpus: str, warm: bool = True,
 
 
 def bench_features_subprocess_trials(cores: int, corpus: str,
-                                     trials: int = 4) -> tuple[float, int, float]:
+                                     trials: int = 4,
+                                     timeout: int = 5400) -> tuple[float, int, float]:
     """Fresh JVM per measurement so both parallelism levels see identical
     JIT conditions (fairness of the N vs 4N comparison)."""
     import subprocess
@@ -151,7 +152,7 @@ def bench_features_subprocess_trials(cores: int, corpus: str,
             f"r = bench.bench_features({cores}, {corpus!r}, trials={trials}); "
             f"print('RESULT ' + json.dumps(list(r)))")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=5400)
+                         text=True, timeout=timeout)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             dt, rows, eff = json.loads(line[7:])
@@ -168,14 +169,28 @@ def bench_features_matrix(jobs: list[tuple[str, int, str]],
     lands entirely on one level's block and fabricates a 2x 'regression';
     interleaving spreads any contention window across every level's samples,
     and the median rejects a single squeezed trial. Per-job trial lists and
-    max/min spread are reported so a noisy invocation is self-diagnosing."""
+    max/min spread are reported so a noisy invocation is self-diagnosing.
+
+    Each trial runs with a hard per-subprocess timeout and ONE retry: this
+    host's loopback TCP has been observed to wedge an Arrow worker channel
+    outright (cwnd collapse + 120 s RTOs on 127.0.0.1 — the trigger for the
+    engine's Unix-domain-socket default, engine/session.py); a killed trial
+    is recorded in `retried`, not silently folded into the median."""
     import statistics
+    import subprocess
     samples: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
     effs: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
     rows: dict[str, int] = {}
+    retried: dict[str, int] = {k: 0 for k, _, _ in jobs}
     for _ in range(max(1, trials)):
         for key, cores, corpus in jobs:
-            dt, r, e = bench_features_subprocess_trials(cores, corpus, trials=1)
+            try:
+                dt, r, e = bench_features_subprocess_trials(
+                    cores, corpus, trials=1, timeout=1500)
+            except (subprocess.TimeoutExpired, RuntimeError):
+                retried[key] += 1
+                dt, r, e = bench_features_subprocess_trials(
+                    cores, corpus, trials=1, timeout=1500)
             samples[key].append(dt)
             effs[key].append(e)
             rows[key] = r
@@ -190,6 +205,7 @@ def bench_features_matrix(jobs: list[tuple[str, int, str]],
             "effective_cores": round(statistics.median(effs[key]), 2),
             "trials_sec": [round(x, 2) for x in samples[key]],
             "trial_spread": round(max(samples[key]) / min(samples[key]), 2),
+            "retried": retried[key],
         }
     return out
 
@@ -411,6 +427,18 @@ def main() -> None:
         queries = bench_queries(spark)
         suite_sec = time.time() - t0
         tokens = bench_tokens(spark)
+        if not args.skip_scaling:
+            # hot-bar lineage: the in-bar direction fold buffers
+            # ticks-per-bar structs in one agg buffer; record the corpus's
+            # worst bar so a burst corpus is visible in the record (the
+            # two-level fold — aggregate_bars_partial(burst_subbars=K) —
+            # bounds the buffer when this number gets hot)
+            from forex_feature_generator_spark.engine import bars as ebars
+            t = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
+            from pyspark.sql import functions as F
+            scaling["max_ticks_per_bar"] = (
+                ebars.aggregate_bars_partial(t, 1)
+                .agg(F.max("tick_volume")).first()[0])
     finally:
         spark.stop()
 

@@ -117,8 +117,18 @@ def with_seq(ticks: DataFrame) -> DataFrame:
     return ticks.withColumn("seq", F.row_number().over(w) - F.lit(1))
 
 
+def _pair_dir(arr: str, field: str, op: str):
+    """#consecutive pairs in a sorted struct array where cur.field <op>
+    prev.field (JVM higher-order functions, no UDF)."""
+    return F.expr(
+        f"size(filter(zip_with(slice({arr}, 2, size({arr}) - 1), "
+        f"slice({arr}, 1, size({arr}) - 1), (c, p) -> c.{field} {op} p.{field}), "
+        "x -> x))").cast("long")
+
+
 def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int,
-                           bucketed_order: bool = False) -> DataFrame:
+                           bucketed_order: bool = False,
+                           burst_subbars: int | None = None) -> DataFrame:
     """ALL bars including the final not-yet-completed one, carrying
     spread_sum and first_ts_us so higher timeframes can be DERIVED from this
     output (bars_from_lower) instead of re-scanning + re-shuffling the full
@@ -131,38 +141,94 @@ def aggregate_bars_partial(ticks: DataFrame, tf_minutes: int,
     the tick-level window's partitionBy(source): a 10x-hot source no longer
     becomes one giant sort task, and the only tick-sized exchange left in
     the whole pipeline is this groupBy's partial-aggregated shuffle.
-    (A pre-existing up_tick/down_tick from with_tick_direction is ignored.)"""
+    (A pre-existing up_tick/down_tick from with_tick_direction is ignored.)
+
+    HOT-BAR GUARD: the in-bar collect_list buffers ticks-per-bar structs in
+    one aggregation buffer — bounded for minute bars on sane feeds (bench
+    records max_ticks_per_bar), but a burst source cramming millions of
+    ticks into ONE bar balloons it. burst_subbars=K switches to a TWO-LEVEL
+    fold: ticks first aggregate into (bar, sub) groups of <=K ticks (buffer
+    bounded by K), then the per-sub partials compose into the bar — in-sub
+    directions sum, sub-boundary directions come from consecutive subs'
+    first/last bids (one struct per sub, <=ticks/K of them). Bit-identical
+    (tests/test_bars.py burst-bar test)."""
     tf_us = tf_minutes * US_PER_MIN
     # cast: accepts both session-tz TIMESTAMP and parquet TIMESTAMP_NTZ
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bar_ts = (us - (us % F.lit(tf_us))).alias("bar_ts_us")
     spread = F.col("ask") - F.col("bid")
-    g = (
-        ticks
-        .withColumn("bar_ts_us", bar_ts)
-        .groupBy("source", "bar_ts_us")
-        .agg(
-            F.min_by("bid", "seq").alias("open"),
-            F.max("bid").alias("high"),
-            F.min("bid").alias("low"),
-            F.max_by("bid", "seq").alias("close"),
-            F.count(F.lit(1)).alias("tick_volume"),
-            F.sort_array(F.collect_list(F.struct("seq", "bid"))).alias("__tb"),
-            F.sum(spread).alias("spread_sum"),
-            F.max(spread).alias("max_spread"),
-            F.min(spread).alias("min_spread"),
-            F.min("seq").alias("first_seq"),
-            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
-        )
-    )
-    # consecutive-pair directions within the bar (JVM higher-order functions)
-    up_in = F.expr("size(filter(zip_with(slice(__tb, 2, size(__tb) - 1), "
-                   "slice(__tb, 1, size(__tb) - 1), (c, p) -> c.bid > p.bid), "
-                   "x -> x))").cast("long")
-    down_in = F.expr("size(filter(zip_with(slice(__tb, 2, size(__tb) - 1), "
-                     "slice(__tb, 1, size(__tb) - 1), (c, p) -> c.bid < p.bid), "
-                     "x -> x))").cast("long")
-    g = g.withColumn("__up_in", up_in).withColumn("__down_in", down_in).drop("__tb")
+    if burst_subbars:
+        sub = (
+            ticks
+            .withColumn("bar_ts_us", bar_ts)
+            .withColumn("__sub", F.floor(F.col("seq") / F.lit(burst_subbars)))
+            .groupBy("source", "bar_ts_us", "__sub")
+            .agg(
+                F.min_by("bid", "seq").alias("open"),
+                F.max("bid").alias("high"),
+                F.min("bid").alias("low"),
+                F.max_by("bid", "seq").alias("close"),
+                F.count(F.lit(1)).alias("tick_volume"),
+                F.sort_array(F.collect_list(F.struct("seq", "bid"))).alias("__tb"),
+                F.sum(spread).alias("spread_sum"),
+                F.max(spread).alias("max_spread"),
+                F.min(spread).alias("min_spread"),
+                F.min("seq").alias("first_seq"),
+                F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
+            )
+            .withColumn("__up_in", _pair_dir("__tb", "bid", ">"))
+            .withColumn("__down_in", _pair_dir("__tb", "bid", "<"))
+            .drop("__tb"))
+        g = (
+            sub.groupBy("source", "bar_ts_us")
+            .agg(
+                F.min_by("open", "first_seq").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", "first_seq").alias("close"),
+                F.sum("tick_volume").alias("tick_volume"),
+                # one small struct per sub: its first/last bid in seq order
+                F.sort_array(F.collect_list(
+                    F.struct("first_seq", "open", "close"))).alias("__sb"),
+                F.sum("__up_in").alias("__up_sum"),
+                F.sum("__down_in").alias("__down_sum"),
+                F.sum("spread_sum").alias("spread_sum"),
+                F.max("max_spread").alias("max_spread"),
+                F.min("min_spread").alias("min_spread"),
+                F.min("first_seq").alias("first_seq"),
+                F.min("first_ts_us").alias("first_ts_us"),
+            )
+            # sub-boundary pairs: next sub's first bid vs this sub's last bid
+            .withColumn("__up_in", F.col("__up_sum") + F.expr(
+                "size(filter(zip_with(slice(__sb, 2, size(__sb) - 1), "
+                "slice(__sb, 1, size(__sb) - 1), (c, p) -> c.open > p.close), "
+                "x -> x))").cast("long"))
+            .withColumn("__down_in", F.col("__down_sum") + F.expr(
+                "size(filter(zip_with(slice(__sb, 2, size(__sb) - 1), "
+                "slice(__sb, 1, size(__sb) - 1), (c, p) -> c.open < p.close), "
+                "x -> x))").cast("long"))
+            .drop("__sb", "__up_sum", "__down_sum"))
+    else:
+        g = (
+            ticks
+            .withColumn("bar_ts_us", bar_ts)
+            .groupBy("source", "bar_ts_us")
+            .agg(
+                F.min_by("bid", "seq").alias("open"),
+                F.max("bid").alias("high"),
+                F.min("bid").alias("low"),
+                F.max_by("bid", "seq").alias("close"),
+                F.count(F.lit(1)).alias("tick_volume"),
+                F.sort_array(F.collect_list(F.struct("seq", "bid"))).alias("__tb"),
+                F.sum(spread).alias("spread_sum"),
+                F.max(spread).alias("max_spread"),
+                F.min(spread).alias("min_spread"),
+                F.min("seq").alias("first_seq"),
+                F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_ts_us"),
+            )
+            .withColumn("__up_in", _pair_dir("__tb", "bid", ">"))
+            .withColumn("__down_in", _pair_dir("__tb", "bid", "<"))
+            .drop("__tb"))
     # boundary: the bar's first tick vs the previous bar's close (the very
     # first tick of a source has no direction — the _lastBid == 0 guard).
     # bucketed_order replaces the per-source lag window with the bounded

@@ -103,7 +103,8 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
                  warmup_bars: int = WARMUP_BARS,
                  label_cfg: LabelConfig | None = None,
                  cache_ticks: bool = True,
-                 bucketed_bar_order: bool = False) -> DataFrame:
+                 bucketed_bar_order: bool = False,
+                 burst_subbars: int | None = None) -> DataFrame:
     """ticks: (source, ts, bid, ask[, seq]). Returns the feature+label rows:
     (source, ts_us, <148 features>, label, timestamp)."""
     cfg = label_cfg or LabelConfig()
@@ -121,7 +122,8 @@ def run_pipeline(spark: SparkSession, ticks: DataFrame,
         # (exact field composition, engine/bars.py::bars_from_lower) instead
         # of a second full-tick window + shuffle
         base = ebars.aggregate_bars_partial(
-            ticks, 1, bucketed_order=bucketed_bar_order).persist()
+            ticks, 1, bucketed_order=bucketed_bar_order,
+            burst_subbars=burst_subbars).persist()
         m1 = ebars.finish_bars(base, bucketed_order=bucketed_bar_order)
         m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5),
                                bucketed_order=bucketed_bar_order)

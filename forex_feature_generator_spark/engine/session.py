@@ -47,6 +47,15 @@ def get_spark(app_name: str = "forex_feature_generator_spark",
         # jobs); RAM-backed local dirs make timings reproducible
         .config("spark.local.dir",
                 os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        # JVM<->python-worker channels over UNIX DOMAIN SOCKETS (Spark 4):
+        # at local[32] this box's loopback TCP intermittently wedges an Arrow
+        # channel (observed: cwnd collapsed to 1, 3.6 MB retransmitted on
+        # 127.0.0.1, RTO backed off to 120 s — the task stalls for minutes to
+        # forever mid-stage). UDS has no congestion control to collapse;
+        # it removes that whole failure class and the round-2 local[32]
+        # variance with it (BENCH/BASELINE.md).
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPARK_GRAFT_UDS", "true"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -142,7 +142,8 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
                         warmup_bars: int = WARMUP_BARS,
                         label_cfg: LabelConfig | None = None,
                         cache_ticks: bool = True,
-                        bucketed_bar_order: bool = False) -> DataFrame:
+                        bucketed_bar_order: bool = False,
+                        burst_subbars: int | None = None) -> DataFrame:
     """Halo-chunked variant of engine.pipeline.run_pipeline — identical
     results, hot sources split into bounded parallel tasks.
 
@@ -162,7 +163,8 @@ def run_pipeline_salted(spark: SparkSession, ticks: DataFrame,
         # one tick-sized pass (see engine/pipeline.py): direction inside the bar
         # groupBy, M5 derived from the persisted partial M1 bars
         base = ebars.aggregate_bars_partial(
-            ticks, 1, bucketed_order=bucketed_bar_order).persist()
+            ticks, 1, bucketed_order=bucketed_bar_order,
+            burst_subbars=burst_subbars).persist()
         m1 = ebars.finish_bars(base, bucketed_order=bucketed_bar_order).persist()
         m5 = ebars.finish_bars(ebars.bars_from_lower(base, 5),
                                bucketed_order=bucketed_bar_order).persist()

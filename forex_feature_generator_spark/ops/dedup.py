@@ -200,6 +200,29 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels
 
 
+def dedup_keep_best(docs: DataFrame, clusters: DataFrame,
+                    score_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Retention policy on top of dedup_clusters: ONE representative per
+    near-dup component — the highest-scoring member (id asc tiebreak);
+    docs in no cluster are their own singleton component. Returns
+    (comp, keeper_id, n_members, best_score).
+
+    Scale shape: one left join docs⋈clusters (clusters has one row per
+    CLUSTERED doc — typically a small fraction of the corpus) and one
+    partial-aggregated groupBy(comp) with an argmax via max_by on a
+    (score, -id) struct — no per-component sort, no window."""
+    lab = docs.select(F.col(id_col).alias("id"),
+                      F.col(score_col).cast("long").alias("score"))
+    j = (lab.join(clusters, "id", "left")
+         .withColumn("comp", F.coalesce(F.col("comp"), F.col("id"))))
+    return (j.groupBy("comp")
+            .agg(F.max_by("id", F.struct(F.col("score"), (-F.col("id"))
+                                         .alias("neg_id"))).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.max("score").alias("best_score")))
+
+
 SIMHASH_BITS = 60   # md5-prefix token hash: 15 hex chars fit a signed int64
 #                     identically in Spark (conv) and DuckDB (oracle-checkable)
 SIMHASH_BAND_BITS = 15

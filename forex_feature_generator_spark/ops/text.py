@@ -155,6 +155,36 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                       F.round(F.coalesce("top3_frac", F.lit(0.0)), 6).alias("top3_frac"))
 
 
+def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                  threshold: float = 0.8, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark DECONTAMINATION (the pre-training hygiene step): per
+    document, the fraction of its distinct word n-grams that appear anywhere
+    in the benchmark set; docs at/above `threshold` are flagged for removal.
+
+    Scale shape: the benchmark's distinct shingle set is small (eval suites
+    are KBs-MBs against a 100 TB corpus) -> broadcast hash join against the
+    exploded doc shingles, one partial-aggregated groupBy(id) for the
+    hit/total counts — the corpus is scanned once, never self-joined.
+    Returns (doc_id, n_shingles, n_hits, contamination, contaminated)."""
+    from .dedup import shingles
+    ds = shingles(docs, text_col, id_col, n)
+    bs = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    counts = (ds.join(F.broadcast(bs).withColumn("__hit", F.lit(1)),
+                      "shingle", "left")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits")))
+    frac = F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(counts, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .withColumn("contamination", F.round(frac, 6))
+            .withColumn("contaminated", frac >= F.lit(threshold)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of the normalized text + a polynomial
     rolling hash of the word sequence (mod ROLL_P < 2^55 so acc*31 + h stays

@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features",
-                    choices=["features", "tokens", "labels"])
+                    choices=["features", "tokens", "labels", "stream-features"])
     ap.add_argument("--no-chunking", action="store_true",
                     help="disable the default halo-chunked execution (one "
                          "unbounded pandas group per source — test/debug only)")
@@ -82,7 +82,29 @@ def main() -> None:
     else:
         ap.error("one of --input / --synth-ticks is required")
 
-    if args.mode == "tokens":
+    if args.mode == "stream-features":
+        # the full 148-feature kernel as a stateful stream over a parquet
+        # file source (engine/streaming.py::streaming_features_stateful):
+        # state carries the 620-bar halo per source; new files -> new
+        # emissions. availableNow drains what exists and stops (replay /
+        # backfill); a deployment would drop that trigger and keep running.
+        if not args.input or args.input_format != "parquet":
+            ap.error("--mode stream-features needs --input <parquet dir>")
+        from forex_feature_generator_spark.engine.streaming import (
+            streaming_features_stateful)
+        schema = spark.read.parquet(args.input).schema
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        q = (streaming_features_stateful(stream)
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", args.output)
+             .option("checkpointLocation", args.output.rstrip("/") + "_ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        try:
+            n = spark.read.parquet(args.output).count()
+        except Exception:
+            n = 0
+    elif args.mode == "tokens":
         out = etok.full_features(ticks)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

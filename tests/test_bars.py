@@ -115,3 +115,45 @@ def test_bucketed_order_derived_m5(spark, small_ticks, monkeypatch):
     assert len(a) == len(b) > 10
     for c in a.columns:
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_burst_bar_two_level_fold(spark):
+    """A burst bar (one minute holding ~100x the normal tick count) through
+    the two-level direction fold must equal the single-level path exactly —
+    the hot-bar guard: level-1 agg buffers are bounded by burst_subbars, so
+    a million-tick bar can no longer balloon one aggregation buffer."""
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    # normal minutes: ~10 ticks; one burst minute: 5000 ticks
+    ts, bids = [], []
+    base = pd.Timestamp("2024-01-02")
+    for minute in range(40):
+        n = 5000 if minute == 20 else 10
+        offs = np.sort(rng.uniform(0, 59.9, n))
+        ts.extend(base + pd.Timedelta(minutes=minute)
+                  + pd.to_timedelta(offs, unit="s"))
+        bids.extend(1.1 + rng.normal(0, 1e-4, n).cumsum())
+    pdf = pd.DataFrame({"source": "s", "ts": pd.Series(ts).astype("datetime64[us]"),
+                        "bid": bids})
+    pdf["ask"] = pdf["bid"] + 1e-4
+    pdf["seq"] = np.arange(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+
+    one = (ebars.aggregate_bars(sdf, 1)
+           .orderBy("bar_ts_us").toPandas())
+    two = (ebars.finish_bars(ebars.aggregate_bars_partial(
+               sdf, 1, burst_subbars=256))
+           .orderBy("bar_ts_us").toPandas())[one.columns]
+    assert len(one) == len(two) == 39
+    assert one["tick_volume"].max() == 5000
+    for c in one.columns:
+        assert (one[c].to_numpy() == two[c].to_numpy()).all(), c
+    # and the M5 derivation composes from the two-level partials too
+    m5_one = (ebars.finish_bars(ebars.bars_from_lower(
+                  ebars.aggregate_bars_partial(sdf, 1), 5))
+              .orderBy("bar_ts_us").toPandas())
+    m5_two = (ebars.finish_bars(ebars.bars_from_lower(
+                  ebars.aggregate_bars_partial(sdf, 1, burst_subbars=256), 5))
+              .orderBy("bar_ts_us").toPandas())[m5_one.columns]
+    for c in m5_one.columns:
+        assert (m5_one[c].to_numpy() == m5_two[c].to_numpy()).all(), c

@@ -258,3 +258,42 @@ def test_multimodal_decoder_injection(spark):
     assert set(fr["asset_id"]) == {"b"}
     assert sorted(fr["frame_idx"]) == [0, 2, 5, 7]   # floor(i*10/4)
     assert (fr["n_frames"] == 10).all()
+
+
+def test_dedup_keep_best(spark):
+    """Retention: highest score wins, id-asc tiebreak, singletons kept."""
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "n_chars": [10, 50, 7, 9, 20, 20, 3]}))
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 5, 6], "comp": [1, 1, 5, 5]}))
+    got = {r["comp"]: r for r in
+           D.dedup_keep_best(docs, clusters).collect()}
+    assert got[1]["keeper_id"] == 2 and got[1]["n_members"] == 2 \
+        and got[1]["best_score"] == 50
+    assert got[5]["keeper_id"] == 5          # tie on 20 -> lower id
+    for single in (3, 4, 7):
+        assert got[single]["keeper_id"] == single
+        assert got[single]["n_members"] == 1
+    assert len(got) == 5
+
+
+def test_contamination(spark):
+    """Planted overlap fractions: exact copy -> 1.0 flagged; partial -> 1/3;
+    disjoint -> 0.0."""
+    import pandas as pd
+    from forex_feature_generator_spark.ops.text import contamination
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [100], "text": ["alpha beta gamma delta"]}))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta",          # exact benchmark copy
+                 "alpha beta gamma nine ten",       # 1 of 3 shingles hit
+                 "one two three four"]}))           # disjoint
+    got = {r["doc_id"]: r for r in contamination(docs, bench).collect()}
+    assert got[1]["contamination"] == 1.0 and got[1]["contaminated"]
+    assert abs(got[2]["contamination"] - 1 / 3) < 1e-6
+    assert not got[2]["contaminated"]
+    assert got[3]["contamination"] == 0.0 and not got[3]["contaminated"]
+    assert got[1]["n_shingles"] == 2 and got[2]["n_shingles"] == 3
