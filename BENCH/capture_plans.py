@@ -175,6 +175,53 @@ def main() -> None:
         "scale (see engine/skew.py).",
         plan7))
 
+    # 8. token-budget curation — global ordered cumsum with ONE corpus
+    # shuffle (range partition); no global single-partition window
+    from forex_feature_generator_spark.ops import sampling as SMP
+    from forex_feature_generator_spark.ops import text as TXT
+    pri = (TXT.quality_score(TXT.token_counts(docs))
+           .select("doc_id", F.col("quality").alias("priority"),
+                   F.col("n_ws_tokens").alias("n_tokens")))
+    tb = SMP.select_token_budget(pri, budget=12_000, n_ranges=8)
+    plan8 = explain_str(tb, max_lines=60)
+    assert "CartesianProduct" not in plan8
+    assert plan8.count("Exchange rangepartitioning") >= 1
+    # the corpus never passes a hash exchange after the range partition:
+    # the only Window runs on the P-row offsets table
+    sections.append((
+        "Token-budget curation (distributed ordered cumsum)",
+        "Exchange rangepartitioning is the ONLY corpus-sized shuffle; the "
+        "partition-local running sum is an order-preserving MapInPandas "
+        "(a partitionBy window here would hash-shuffle the corpus a second "
+        "time), the Window runs on the P-row per-range totals, and the "
+        "offsets re-attach via a broadcast join.",
+        plan8))
+
+    # 9. tf-idf top-k — key-partitioned joins, per-doc window only
+    tj = TXT.tfidf_topk(docs, k=3)
+    plan9 = explain_str(tj, max_lines=60)
+    assert "CartesianProduct" not in plan9
+    sections.append((
+        "Per-doc tf-idf top-k terms",
+        "tf and df are partial-aggregated groupBys; the vocab-sized df "
+        "table joins BY KEY (never collected), N arrives as a 1-row "
+        "broadcast, and the top-k window partitions by doc_id — bounded by "
+        "per-doc vocab, no global sort.",
+        plan9))
+
+    # 10. bigram-LM scoring — broadcast vocab probes, key-joined bigram table
+    from forex_feature_generator_spark.ops import lm as LMOD
+    lm = LMOD.bigram_lm_scores(docs, vocab_size=24)
+    plan10 = explain_str(lm, max_lines=70)
+    assert "CartesianProduct" not in plan10
+    sections.append((
+        "Self-trained bigram-LM perplexity scoring",
+        "The top-V vocab and the V+1-row unigram table are broadcast probes; "
+        "the bigram count table (bounded by observed bigrams over the capped "
+        "vocab) is joined BY KEY on (w1m, w2m) — one hash shuffle, never "
+        "broadcast, never collected.",
+        plan10))
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan review of the key operators\n\n"
                 "Captured by `python BENCH/capture_plans.py` "

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from forex_feature_generator_spark.engine import windows as WIN
 from forex_feature_generator_spark.ops import dedup as D
+from forex_feature_generator_spark.ops import lm as LM
 from forex_feature_generator_spark.ops import multimodal as MM
 from forex_feature_generator_spark.ops import similarity as SIM
 from forex_feature_generator_spark.ops import text as TXT
@@ -1297,6 +1298,210 @@ FROM documents d LEFT JOIN cnt ON cnt.id = d.doc_id
 """
 
 
+def q46_bigram_lm(spark, sf_dir):
+    """Self-trained bigram-LM perplexity scoring (the KenLM-style quality
+    filter): top-24 vocab (count desc, word asc), add-0.5 smoothing,
+    P(w2|w1)=(C(w1 w2)+a)/(C(w1)+a(V+1)); per doc the bigram cross-entropy
+    (nats) and perplexity. Vocab+unigrams broadcast; the bigram count table
+    is joined BY KEY (never broadcast/collected) — see ops/lm.py."""
+    docs = _load(spark, sf_dir, "documents")
+    return LM.bigram_lm_scores(docs, vocab_size=24, alpha=0.5)
+
+
+SQL_Q46 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+tok AS (SELECT id, unnest(ws) AS wd FROM w),
+vocab AS (
+  SELECT wd FROM (SELECT wd, count(*) AS c FROM tok GROUP BY wd)
+  ORDER BY c DESC, wd ASC LIMIT 24),
+toku AS (
+  SELECT id, CASE WHEN v.wd IS NOT NULL THEN t.wd ELSE '<unk>' END AS wm
+  FROM tok t LEFT JOIN vocab v ON v.wd = t.wd),
+uni AS (SELECT wm, count(*) AS cu FROM toku GROUP BY wm),
+bg0 AS (
+  SELECT id, unnest(list_transform(range(1, len(ws)),
+                                   i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+  FROM w),
+bgm AS (
+  SELECT id,
+         CASE WHEN v1.wd IS NOT NULL THEN b.w1 ELSE '<unk>' END AS w1m,
+         CASE WHEN v2.wd IS NOT NULL THEN b.w2 ELSE '<unk>' END AS w2m
+  FROM bg0 LEFT JOIN vocab v1 ON v1.wd = b.w1
+           LEFT JOIN vocab v2 ON v2.wd = b.w2),
+bi AS (SELECT w1m, w2m, count(*) AS cb FROM bgm GROUP BY w1m, w2m),
+sc AS (
+  SELECT id, ln((cb + 0.5) / (cu + 0.5 * 25)) AS logp
+  FROM bgm JOIN bi USING (w1m, w2m) JOIN uni ON uni.wm = bgm.w1m),
+agg AS (SELECT id, count(*) AS n_bigrams, -avg(logp) AS ce FROM sc GROUP BY id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(a.ce, 6) AS cross_entropy,
+       round(exp(a.ce), 6) AS perplexity
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+"""
+
+
+def q47_dup_spans(spark, sf_dir):
+    """Exact duplicated-span coverage at 8-gram granularity (the suffix-
+    array exact-substring-dedup approximation): per doc, the fraction of
+    word positions covered by an n-gram occurring >=2 times corpus-wide.
+    One count shuffle on the md5 key + one join back; interval-union
+    arithmetic in pure integer array expressions — see ops/dedup.py."""
+    docs = _load(spark, sf_dir, "documents")
+    return D.dup_span_coverage(docs, n=8)
+
+
+SQL_Q47 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+g0 AS (
+  SELECT id, len(ws) AS n_words,
+         unnest(list_transform(range(1, greatest(len(ws) - 8 + 2, 1)),
+                               i -> {'pos': i, 'gh': md5(array_to_string(ws[i:i+7], ' '))})) AS g
+  FROM w),
+grams AS (SELECT id, g.pos AS pos, g.gh AS gh FROM g0),
+cnt AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh),
+per AS (
+  SELECT grams.id, count(*) AS n_spans,
+         list_sort(list(pos) FILTER (WHERE c >= 2)) AS S
+  FROM grams JOIN cnt USING (gh) GROUP BY grams.id),
+cov AS (
+  SELECT id, n_spans, coalesce(len(S), 0) AS n_dup_spans,
+         CASE WHEN coalesce(len(S), 0) = 0 THEN 0
+              ELSE 8 + coalesce(list_sum(list_transform(
+                     range(2, len(S) + 1), i -> least(8, S[i] - S[i-1]))), 0)
+         END AS covered_words
+  FROM per)
+SELECT w.id AS doc_id, w.n_words::BIGINT AS n_words,
+       coalesce(cov.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(cov.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(cov.covered_words, 0)::BIGINT AS covered_words,
+       round(coalesce(cov.covered_words, 0) * 1.0
+             / greatest(w.n_words, 1), 6) AS dup_coverage
+FROM (SELECT id, len(ws) AS n_words FROM w) w
+LEFT JOIN cov ON cov.id = w.id
+"""
+
+
+def q48_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 distinctive terms by smoothed tf-idf (sklearn
+    smooth_idf formula), deterministic term-asc tiebreak. The df table is
+    joined BY KEY (vocab-sized, never collected); the top-k window
+    partitions by doc — see ops/text.py::tfidf_topk."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.tfidf_topk(docs, k=3)
+
+
+SQL_Q48 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+tok AS (SELECT id, unnest(ws) AS wd FROM w),
+tf AS (SELECT id, wd, count(*) AS tf FROM tok GROUP BY id, wd),
+nw AS (SELECT id, sum(tf) AS n_words FROM tf GROUP BY id),
+dfx AS (SELECT wd, count(*) AS df FROM tf GROUP BY wd),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.id, tf.wd, tf.tf, dfx.df,
+         (tf.tf * 1.0 / nw.n_words) * (ln((nn.n + 1.0) / (dfx.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfx USING (wd) JOIN nw USING (id) CROSS JOIN nn),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, wd ASC) AS rank
+  FROM sc)
+SELECT id AS doc_id, wd AS term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(tfidf, 6) AS tfidf, rank::INT AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
+TOKEN_BUDGET = 12_000    # ~44% of the corpus' ws tokens at sf0.01
+
+
+def q49_token_budget(spark, sf_dir):
+    """Token-budget corpus curation: quality-ordered (quality desc, doc_id
+    asc) running token total; selected while cum <= budget. The cumsum is
+    distributed — range-repartition + partition-local windows + a P-row
+    offsets table, no global single-partition sort — see
+    ops/sampling.py::select_token_budget."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    scored = TXT.quality_score(TXT.token_counts(docs))
+    pri = scored.select("doc_id",
+                        F.col("quality").alias("priority"),
+                        F.col("n_ws_tokens").alias("n_tokens"))
+    out = SMP.select_token_budget(pri, budget=TOKEN_BUDGET,
+                                  tokens_col="n_tokens",
+                                  priority_col="priority")
+    return out.select("doc_id", "priority", "n_tokens",
+                      "cum_tokens", "selected")
+
+
+SQL_Q49 = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_c
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(words, w -> list_contains({_STOP_EN}, w))) * 1.0
+           / greatest(len(words), 1) AS stop_ratio,
+         upper_c * 1.0 / greatest(n_chars, 1) AS upper_ratio,
+         least(1.0, len(words) / 20.0) AS length_score
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(length_score * 0.3 + least(1.0, stop_ratio * 5.0) * 0.3
+               + (1 - least(1.0, punct_ratio * 5.0)) * 0.2
+               + (1 - least(1.0, upper_ratio * 5.0)) * 0.2, 6) AS priority
+  FROM r),
+o AS (
+  SELECT doc_id, priority, n_tokens,
+         sum(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC) AS cum_tokens
+  FROM q)
+SELECT doc_id, priority, n_tokens::BIGINT AS n_tokens,
+       cum_tokens::BIGINT AS cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET} AS selected
+FROM o
+"""
+
+
+def q50_mixture_weights(spark, sf_dir):
+    """Static domain-mixture reweighting over (source, lang): token share
+    of corpus + the uniform-target reweight factor. One G-row groupBy, a
+    1-row totals broadcast — see ops/sampling.py::mixture_weights."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    toks = TXT.token_counts(docs).select("source", "lang", "n_ws_tokens")
+    return SMP.mixture_weights(toks, ["source", "lang"],
+                               tokens_col="n_ws_tokens")
+
+
+SQL_Q50 = """
+WITH t AS (
+  SELECT source, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+g AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM t GROUP BY source, lang),
+tot AS (SELECT sum(n_tokens) AS tot, count(*) AS grp FROM g)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens * 1.0 / tot, 6) AS token_share,
+       round((1.0 / grp) / (n_tokens * 1.0 / tot), 6) AS weight
+FROM g CROSS JOIN tot
+"""
+
+
 def q37_ann_ivf(spark, sf_dir):
     """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
     centroids partition the corpus into cells, queries probe their 2 best
@@ -1396,6 +1601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_bpe_encode": q43_bpe_encode,
         "q44_dedup_keep_best": q44_dedup_keep_best,
         "q45_decontaminate": q45_decontaminate,
+        "q46_bigram_lm": q46_bigram_lm,
+        "q47_dup_spans": q47_dup_spans,
+        "q48_tfidf_topk": q48_tfidf_topk,
+        "q49_token_budget": q49_token_budget,
+        "q50_mixture_weights": q50_mixture_weights,
     }
 
 
@@ -1446,4 +1656,9 @@ def oracle_sql() -> dict[str, str]:
         "q43_bpe_encode": _sql_q43(),
         "q44_dedup_keep_best": _sql_q44(),
         "q45_decontaminate": SQL_Q45,
+        "q46_bigram_lm": SQL_Q46,
+        "q47_dup_spans": SQL_Q47,
+        "q48_tfidf_topk": SQL_Q48,
+        "q49_token_budget": SQL_Q49,
+        "q50_mixture_weights": SQL_Q50,
     }

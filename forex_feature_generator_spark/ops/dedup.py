@@ -223,6 +223,68 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame,
                  F.max("score").alias("best_score")))
 
 
+def dup_span_coverage(docs: DataFrame, n: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-SPAN analysis at n-gram granularity (the scalable
+    approximation of suffix-array exact-substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    position is duplicated when ANY corpus-repeated n-gram window covers it;
+    reports per doc the fraction of its words inside such spans. Pipelines
+    drop or trim docs with high coverage (boilerplate, mirrored content).
+
+    Scale shape (100 TB): all n-gram starts explode to (id, pos, md5 key) ->
+    ONE partial-aggregated count shuffle on the hash -> join back by the
+    same key -> per-doc sorted position array (bounded by doc length, the
+    same boundedness bars rely on) -> interval-union arithmetic as pure
+    array expressions. No self-join, no suffix array, integers end to end.
+
+    Returns (doc_id, n_words, n_spans, n_dup_spans, covered_words,
+    dup_coverage); a span is "duplicated" when its n-gram occurs >= 2 times
+    corpus-wide (multiset count — twice inside one doc counts too)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("ws"),
+                       F.size(words).cast("long").alias("n_words"))
+    k = F.size("ws") - F.lit(n - 1)
+    # guard: Spark sequence(1, k<=0) DESCENDS — short docs get no spans
+    gram_t = "array<struct<pos:int,gh:string>>"
+    grams_arr = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, n))).alias("gh")))
+    ).otherwise(F.array().cast(gram_t))
+    grams = (base.select("id", F.explode(grams_arr).alias("g"))
+             .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")))
+
+    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    dup_pos = (grams.join(cnt, "gh")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("c") >= 2, F.col("pos")))).alias("S")))
+
+    # union of the fixed-length intervals [p, p+n-1] over sorted starts S:
+    # n for the first + min(n, gap) for each later start
+    gap_cov = F.aggregate(
+        F.zip_with(F.expr("slice(S, 2, size(S) - 1)"),
+                   F.expr("slice(S, 1, size(S) - 1)"),
+                   lambda c, p: F.least(F.lit(n), c - p)),
+        F.lit(0), lambda acc, x: acc + x)
+    covered = F.when(F.size("S") == 0, F.lit(0)).otherwise(F.lit(n) + gap_cov)
+    out = (base.select("id", "n_words")
+           .join(dup_pos, "id", "left")
+           .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)))
+           .withColumn("S", F.coalesce("S", F.array().cast("array<int>")))
+           .withColumn("covered_words", covered.cast("long")))
+    return out.select(
+        F.col("id").alias(id_col), "n_words",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.size("S").cast("long").alias("n_dup_spans"),
+        "covered_words",
+        F.round(F.col("covered_words")
+                / F.greatest(F.col("n_words"), F.lit(1)), 6).alias("dup_coverage"))
+
+
 SIMHASH_BITS = 60   # md5-prefix token hash: 15 hex chars fit a signed int64
 #                     identically in Spark (conv) and DuckDB (oracle-checkable)
 SIMHASH_BAND_BITS = 15

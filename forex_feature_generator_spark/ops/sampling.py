@@ -62,6 +62,87 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(expr)
 
 
+def select_token_budget(df: DataFrame, budget: int,
+                        tokens_col: str = "n_tokens",
+                        priority_col: str = "priority",
+                        id_col: str = "doc_id",
+                        n_ranges: int | None = None) -> DataFrame:
+    """Token-budget curation: walk documents in priority order (priority
+    desc, id asc — unique, so the order is total) accumulating token counts;
+    a doc is selected while the running total stays within `budget`. The
+    "take the best docs until the 1B-token budget is full" step of corpus
+    assembly.
+
+    Scale shape (100 TB): a global ordered cumsum with ONE corpus shuffle —
+    range-repartition on the priority key (the TeraSort shape) + in-place
+    partition sort, then a partition-local running sum via an ORDER-
+    PRESERVING mapInPandas that carries the total across Arrow batches (a
+    partition-by window here would hash-shuffle the whole corpus a second
+    time — the one semantics built-in windows can't express without it).
+    Per-range offsets come from the P-row totals table (one tiny window +
+    broadcast join back). No driver action, no single-partition sort of
+    the corpus; the only global structure is the P-row offsets table.
+
+    Returns the input columns + cum_tokens + selected."""
+    from pyspark.sql import Window
+
+    P = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(P, F.col(priority_col).desc(),
+                                  F.col(id_col).asc())
+            .sortWithinPartitions(F.col(priority_col).desc(),
+                                  F.col(id_col).asc())
+            .withColumn("__pid", F.spark_partition_id()))
+
+    schema = part.schema.add("__local_cum", "long")
+
+    def _local_cumsum(batches):
+        run = 0
+        for pdf in batches:           # batches stream in partition row order
+            pdf = pdf.copy()
+            c = pdf[tokens_col].astype("int64").cumsum() + run
+            if len(c):
+                run = int(c.iloc[-1])
+            pdf["__local_cum"] = c
+            yield pdf
+
+    part = part.mapInPandas(_local_cumsum, schema=schema)
+    totals = part.groupBy("__pid").agg(F.max("__local_cum").alias("__ptot"))
+    # P rows -> the one intentionally-global window in the operator
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        F.col("__pid").alias("__pid_r"),
+        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"))
+    out = part.join(F.broadcast(offsets),
+                    part["__pid"] == offsets["__pid_r"])
+    cum = (F.col("__local_cum") + F.col("__off")).cast("long")
+    return (out.withColumn("cum_tokens", cum)
+            .withColumn("selected", cum <= F.lit(int(budget)))
+            .drop("__pid", "__pid_r", "__local_cum", "__off", "__ptot"))
+
+
+def mixture_weights(df: DataFrame, group_cols: list[str],
+                    tokens_col: str = "n_tokens") -> DataFrame:
+    """Static domain-mixture reweighting (the DoReMi-lite/data-mixing step):
+    per group (e.g. source x lang) the corpus token share and the reweight
+    factor that would equalize the mixture to a uniform target across
+    observed groups (weight = target_share / actual_share; >1 means
+    upsample). One partial-aggregated groupBy to a G-row table; corpus
+    totals come from a 1-row aggregate broadcast-crossJoined back — the
+    corpus itself is scanned once and never re-shuffled."""
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"))
+    tot = g.agg(F.sum("n_tokens").alias("__tot"),
+                F.count(F.lit(1)).alias("__G"))
+    share = F.col("n_tokens") / F.col("__tot")
+    target = F.lit(1.0) / F.col("__G")
+    return (g.crossJoin(F.broadcast(tot))
+            .select(*group_cols, "n_docs", "n_tokens",
+                    F.round(share, 6).alias("token_share"),
+                    F.round(target / share, 6).alias("weight")))
+
+
 def sql_unit_hash(id_expr: str, seed: int, hex2int_15: str) -> str:
     """DuckDB mirror of _unit_hash for oracle construction; hex2int_15 is the
     caller's 15-hex-char conversion of md5('seed:' || id)."""

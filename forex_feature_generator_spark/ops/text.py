@@ -155,6 +155,45 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                       F.round(F.coalesce("top3_frac", F.lit(0.0)), 6).alias("top3_frac"))
 
 
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k distinctive terms by smoothed tf-idf — the
+    keyword/topic signal a curation pipeline uses for domain tagging and
+    diversity sampling. tf = count(term in doc) / n_words; idf =
+    ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf); rank by tfidf desc with a
+    term-asc tiebreak so the result is deterministic.
+
+    Scale shape (100 TB): one partial-aggregated (id, term) count shuffle,
+    one term-level df shuffle, a key-partitioned join on term (the df table
+    is vocab-sized — joined BY KEY, never broadcast/collected), and the
+    top-k window partitions by DOC (bounded by per-doc vocab, never a
+    global sort). N comes from a 1-row aggregate broadcast, not an action.
+    Returns (doc_id, term, tf, df, tfidf, rank)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    tf = (tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    n_words = tf.groupBy("id").agg(F.sum("tf").alias("n_words"))
+    df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("N"))
+
+    from pyspark.sql import Window
+    scored = (tf.join(df_tbl, "w")
+              .join(n_words, "id")
+              .crossJoin(F.broadcast(n_docs)))
+    idf = F.log((F.col("N") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = scored.withColumn(
+        "tfidf", (F.col("tf") / F.col("n_words")) * idf)
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(),
+                                         F.col("w").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), F.col("w").alias("term"),
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    F.round("tfidf", 6).alias("tfidf"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                   threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

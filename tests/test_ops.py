@@ -297,3 +297,164 @@ def test_contamination(spark):
     assert not got[2]["contaminated"]
     assert got[3]["contamination"] == 0.0 and not got[3]["contaminated"]
     assert got[1]["n_shingles"] == 2 and got[2]["n_shingles"] == 3
+
+
+def test_bigram_lm_scores(spark):
+    """Spark bigram-LM scores vs an independent pure-Python LM on a tiny
+    corpus exercising the <unk> path (vocab_size=2 over 4 distinct words)."""
+    from collections import Counter
+    import math
+    from forex_feature_generator_spark.ops.lm import bigram_lm_scores
+    texts = {1: "a b a b c", 2: "a b c x a", 3: "x", 4: "c c a b"}
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+
+    V, alpha = 2, 0.5
+    toks = {i: t.split() for i, t in texts.items()}
+    uni_raw = Counter(w for ws in toks.values() for w in ws)
+    vocab = set(w for w, _ in sorted(uni_raw.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:V])
+    m = lambda w: w if w in vocab else "<unk>"
+    uni = Counter(m(w) for ws in toks.values() for w in ws)
+    bi = Counter((m(a), m(b)) for ws in toks.values()
+                 for a, b in zip(ws, ws[1:]))
+    exp = {}
+    for i, ws in toks.items():
+        lps = [math.log((bi[(m(a), m(b))] + alpha)
+                        / (uni[m(a)] + alpha * (V + 1)))
+               for a, b in zip(ws, ws[1:])]
+        exp[i] = (len(lps), -sum(lps) / len(lps) if lps else None)
+
+    got = {r["doc_id"]: r for r in
+           bigram_lm_scores(docs, vocab_size=V, alpha=alpha).collect()}
+    assert len(got) == 4
+    for i, (n_bg, ce) in exp.items():
+        assert got[i]["n_bigrams"] == n_bg
+        if ce is None:
+            assert got[i]["cross_entropy"] is None
+            assert got[i]["perplexity"] is None
+        else:
+            assert abs(got[i]["cross_entropy"] - round(ce, 6)) < 2e-6, i
+            assert abs(got[i]["perplexity"] - math.exp(ce)) < 1e-4, i
+
+
+def test_dup_span_coverage(spark):
+    """Planted duplicated spans vs an independent interval-union reference:
+    a shared 8-word run across two docs, an in-doc repeated run, a unique
+    doc and a too-short doc."""
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(200)]
+    uniq = lambda n: " ".join(rng.choice(vocab, size=n))
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    texts = {
+        1: uniq(20) + " " + shared + " " + uniq(20),   # shares run with 2
+        2: shared + " " + uniq(30),
+        3: uniq(40),                                   # unique
+        4: "a b c",                                    # < n words
+        5: "r1 r2 r3 r4 r5 r6 r7 r8 " + uniq(12) + " r1 r2 r3 r4 r5 r6 r7 r8",
+    }
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    n = 8
+
+    # independent reference
+    grams = {}
+    for i, t in texts.items():
+        ws = t.split()
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[p:p + n]), []).append((i, p))
+    dup_starts = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for i, p in occ:
+                dup_starts.setdefault(i, set()).add(p)
+    exp = {}
+    for i, t in texts.items():
+        ws = t.split()
+        covered = set()
+        for p in dup_starts.get(i, ()):
+            covered.update(range(p, p + n))
+        k = max(len(ws) - n + 1, 0)
+        exp[i] = (len(ws), k, len(dup_starts.get(i, ())), len(covered))
+
+    got = {r["doc_id"]: r for r in D.dup_span_coverage(docs, n=n).collect()}
+    assert len(got) == len(texts)
+    for i, (n_words, n_spans, n_dup, cov) in exp.items():
+        r = got[i]
+        assert (r["n_words"], r["n_spans"], r["n_dup_spans"],
+                r["covered_words"]) == (n_words, n_spans, n_dup, cov), i
+        assert abs(r["dup_coverage"] - round(cov / max(n_words, 1), 6)) < 1e-9
+    assert exp[3][3] == 0 and exp[4][1] == 0    # sanity: plant held
+    assert exp[1][3] == 8 and exp[5][3] == 16
+
+
+def test_tfidf_topk(spark):
+    """Spark tf-idf top-k vs an independent pure-Python reference (smooth
+    idf, term-asc tiebreak) on a corpus with shared and unique terms."""
+    import math
+    from collections import Counter
+    from forex_feature_generator_spark.ops.text import tfidf_topk
+    texts = {1: "cat dog cat fish", 2: "dog dog bird", 3: "fish cat", 4: "zebra"}
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    N = len(texts)
+    tf = {i: Counter(t.split()) for i, t in texts.items()}
+    dfc = Counter()
+    for c in tf.values():
+        dfc.update(c.keys())
+    exp = {}
+    for i, c in tf.items():
+        nw = sum(c.values())
+        rows = sorted(((-(cnt / nw) * (math.log((N + 1) / (dfc[w] + 1)) + 1), w, cnt)
+                       for w, cnt in c.items()))
+        exp[i] = [(w, cnt, dfc[w], round(-s, 6), r + 1)
+                  for r, (s, w, cnt) in enumerate(rows[:2])]
+
+    got = {}
+    for r in tfidf_topk(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["tfidf"], r["rank"]))
+    for i in exp:
+        assert sorted(got[i], key=lambda x: x[4]) == exp[i], i
+    assert len(got[4]) == 1          # single-term doc -> single row
+
+
+def test_select_token_budget(spark):
+    """Distributed cumsum (range repartition + offsets) vs a plain sorted
+    reference; exercised across 4 range partitions so the offset path runs."""
+    from forex_feature_generator_spark.ops.sampling import select_token_budget
+    rng = np.random.default_rng(7)
+    n = 200
+    pri = np.round(rng.random(n), 3)
+    toks = rng.integers(10, 100, size=n)
+    pdf = pd.DataFrame({"doc_id": np.arange(n), "priority": pri,
+                        "n_tokens": toks})
+    budget = int(toks.sum() * 0.4)
+    order = pdf.sort_values(["priority", "doc_id"],
+                            ascending=[False, True]).reset_index(drop=True)
+    order["cum"] = order["n_tokens"].cumsum()
+    exp = {int(r.doc_id): (int(r.cum), bool(r.cum <= budget))
+           for r in order.itertuples()}
+
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: (r["cum_tokens"], r["selected"])
+           for r in select_token_budget(df, budget, n_ranges=4).collect()}
+    assert got == exp
+    assert 0 < sum(1 for v in got.values() if v[1]) < n   # budget is interior
+
+
+def test_mixture_weights(spark):
+    """Token shares + uniform-target reweights on a 3-group frame."""
+    from forex_feature_generator_spark.ops.sampling import mixture_weights
+    pdf = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "c"],
+        "lang": ["en", "en", "en", "de", "en"],
+        "n_tokens": [100, 300, 400, 100, 100]})
+    df = spark.createDataFrame(pdf)
+    got = {(r["source"], r["lang"]):
+           (r["n_docs"], r["n_tokens"], r["token_share"], r["weight"])
+           for r in mixture_weights(df, ["source", "lang"]).collect()}
+    tot, G = 1000.0, 3
+    assert got[("a", "en")] == (2, 400, 0.4, round((1 / G) / 0.4, 6))
+    assert got[("b", "en")] == (1, 400, 0.4, round((1 / G) / 0.4, 6))
+    assert got[("b", "de")] == (1, 100, 0.1, round((1 / G) / 0.1, 6))
