@@ -37,6 +37,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — driver-side, no Spark job,
+    O(#files) footer reads (the 100 TB answer is the same: footers or the
+    table catalog, never a count() scan). Feeds size gates like q42's
+    exact-vs-approx quantile switch without an eager job at plan time."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{name}.parquet"
+    files = ([path] if os.path.isfile(path) else
+             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship smoke query (sf0.001): the engine's window-operator chain
 # over the events stream — sessionize + rolling + lag/lead + backfill + as-of.
@@ -1030,18 +1045,20 @@ FROM t
 def q42_quantile_binning(spark, sf_dir):
     """Quantile discretization (feature binning): decile id per row from
     percentile cutpoints, folded in as a broadcast 1-row array —
-    bin = #cutpoints <= value, fully lazy on both engines. Cutpoints are
-    rounded to 4dp on both sides so boundary rows bin identically
-    (l_extendedprice itself has 2 decimals).
+    bin = #cutpoints <= value. Cutpoints are rounded to 4dp on both sides so
+    boundary rows bin identically (l_extendedprice itself has 2 decimals).
 
     Cutpoints go through engine.normalize.gated_quantile_agg: exact
     `percentile` at test scale (<=20M rows, deterministic vs the DuckDB
     oracle), approx_percentile sketch above — an exact global percentile
-    buffers every value in one agg buffer, a 100 TB OOM."""
+    buffers every value in one agg buffer, a 100 TB OOM. The gate's row
+    count comes from parquet FOOTER metadata (_parquet_num_rows), not a
+    count() job, so no Spark job runs at query-construction time and the
+    timed window matches the DuckDB oracle's."""
     from forex_feature_generator_spark.engine.normalize import gated_quantile_agg
     li = _load(spark, sf_dir, "lineitem")
     qs = [i / 10 for i in range(1, 10)]
-    n = li.count()   # column-pruned scan; decides the gate
+    n = _parquet_num_rows(sf_dir, "lineitem")   # footer metadata, no job
     cuts = li.agg(F.transform(
         gated_quantile_agg("l_extendedprice", qs, n),
         lambda c: F.round(c, 4)).alias("cuts"))

@@ -92,7 +92,9 @@ def streaming_bars_stateful(ticks: DataFrame, tf_minutes: int) -> DataFrame:
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return
-        pdf = pd.concat(chunks).sort_values("ts")
+        # stable: within-batch arrival order must break ts ties, matching
+        # the batch path's file-order seq (quicksort would permute them)
+        pdf = pd.concat(chunks).sort_values("ts", kind="stable")
         us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
         bid = pdf["bid"].to_numpy("float64")
         ask = pdf["ask"].to_numpy("float64")
@@ -221,7 +223,9 @@ def streaming_labels_stateful(ticks: DataFrame, tf_minutes: int = 1,
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return
-        pdf = pd.concat(chunks).sort_values("ts")
+        # stable: within-batch arrival order must break ts ties, matching
+        # the batch path's file-order seq (quicksort would permute them)
+        pdf = pd.concat(chunks).sort_values("ts", kind="stable")
         us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
         bid = pdf["bid"].to_numpy("float64")
         ask = pdf["ask"].to_numpy("float64")
@@ -384,7 +388,9 @@ def streaming_features_stateful(ticks: DataFrame,
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return
-        pdf = pd.concat(chunks).sort_values("ts")
+        # stable: within-batch arrival order must break ts ties, matching
+        # the batch path's file-order seq (quicksort would permute them)
+        pdf = pd.concat(chunks).sort_values("ts", kind="stable")
         us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
         bid = pdf["bid"].to_numpy("float64")
         ask = pdf["ask"].to_numpy("float64")

@@ -48,17 +48,28 @@ def load_ticks_csv(spark: SparkSession, path: str,
     """(source, ts, bid, ask, seq) with reference drop semantics; lazy —
     no job runs here.
 
-    `seq` is the FILE/ARRIVAL order (monotonically_increasing_id: split index
-    in the high bits, in-split row offset in the low bits — CSV splits are
-    assigned in file-offset order, so seq is order-consistent with the file),
-    matching the reference's sequential read (TickLoader.cs:30-69). It feeds
-    the ordering-violation check in validate_ticks and the bar aggregation's
-    arrival-order semantics without a ts sort."""
+    `seq` is the FILE/ARRIVAL order as a DENSE 0-based per-source position:
+    monotonically_increasing_id gives the arrival ORDER (split index in the
+    high bits, in-split row offset in the low bits — CSV splits are assigned
+    in file-offset order, so it is order-consistent with the file), but its
+    raw values have ~2^33 gaps between splits whenever Spark reads the input
+    as more than one partition (file > maxPartitionBytes, or a multi-file
+    directory). The label kernel indexes tick arrays POSITIONALLY by seq
+    (labels.py), so we densify with row_number over that arrival order,
+    matching the reference's sequential read (TickLoader.cs:30-69). The
+    window is one shuffle per source — the same shuffle with_seq would do,
+    so downstream (which skips with_seq when seq exists) costs the same.
+    It also feeds the ordering-violation check in validate_ticks and the bar
+    aggregation's arrival-order semantics without a ts sort."""
+    from pyspark.sql import Window
     raw = _raw(spark, path)
+    w = Window.partitionBy("source").orderBy("__arrival")
     return (raw.filter(_ok(raw) & ~_blank(raw))
             .drop("_corrupt")
             .withColumn("source", F.lit(source_name))
-            .withColumn("seq", F.monotonically_increasing_id()))
+            .withColumn("__arrival", F.monotonically_increasing_id())
+            .withColumn("seq", F.row_number().over(w) - F.lit(1))
+            .drop("__arrival"))
 
 
 def validate_ticks(ticks: DataFrame) -> dict:

@@ -210,15 +210,16 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame,
 
     Scale shape: one left join docs⋈clusters (clusters has one row per
     CLUSTERED doc — typically a small fraction of the corpus) and one
-    partial-aggregated groupBy(comp) with an argmax via max_by on a
-    (score, -id) struct — no per-component sort, no window."""
+    partial-aggregated groupBy(comp) with an argmax via min_by on a
+    (-score, id) struct — id is never negated, so string doc ids work;
+    no per-component sort, no window."""
     lab = docs.select(F.col(id_col).alias("id"),
                       F.col(score_col).cast("long").alias("score"))
     j = (lab.join(clusters, "id", "left")
          .withColumn("comp", F.coalesce(F.col("comp"), F.col("id"))))
     return (j.groupBy("comp")
-            .agg(F.max_by("id", F.struct(F.col("score"), (-F.col("id"))
-                                         .alias("neg_id"))).alias("keeper_id"),
+            .agg(F.min_by("id", F.struct((-F.col("score")).alias("neg_score"),
+                                         F.col("id"))).alias("keeper_id"),
                  F.count(F.lit(1)).alias("n_members"),
                  F.max("score").alias("best_score")))
 

@@ -85,6 +85,7 @@ def select_token_budget(df: DataFrame, budget: int,
 
     Returns the input columns + cum_tokens + selected."""
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
     P = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(P, F.col(priority_col).desc(),
@@ -93,7 +94,12 @@ def select_token_budget(df: DataFrame, budget: int,
                                   F.col(id_col).asc())
             .withColumn("__pid", F.spark_partition_id()))
 
-    schema = part.schema.add("__local_cum", "long")
+    # Build a FRESH StructType: StructType.add mutates in place, and
+    # part.schema can return the DataFrame's cached schema object — mutating
+    # it makes `part` believe it already has __local_cum and mapInPandas then
+    # fails to resolve the column (AnalysisException UNRESOLVED_COLUMN).
+    schema = StructType(list(part.schema.fields)
+                        + [StructField("__local_cum", LongType())])
 
     def _local_cumsum(batches):
         run = 0
@@ -122,25 +128,38 @@ def select_token_budget(df: DataFrame, budget: int,
 
 
 def mixture_weights(df: DataFrame, group_cols: list[str],
-                    tokens_col: str = "n_tokens") -> DataFrame:
+                    tokens_col: str = "n_tokens",
+                    target_shares: dict[tuple, float] | None = None) -> DataFrame:
     """Static domain-mixture reweighting (the DoReMi-lite/data-mixing step):
     per group (e.g. source x lang) the corpus token share and the reweight
-    factor that would equalize the mixture to a uniform target across
-    observed groups (weight = target_share / actual_share; >1 means
-    upsample). One partial-aggregated groupBy to a G-row table; corpus
-    totals come from a 1-row aggregate broadcast-crossJoined back — the
-    corpus itself is scanned once and never re-shuffled."""
+    factor toward a target mixture (weight = target_share / actual_share;
+    >1 means upsample). The default target is uniform across observed
+    groups; pass `target_shares` (group-value tuple -> share, e.g.
+    {("web","en"): 0.5, ...}) for a non-uniform target — groups absent from
+    the dict get target 0 (weight 0, i.e. drop). One partial-aggregated
+    groupBy to a G-row table; corpus totals come from a 1-row aggregate
+    broadcast-crossJoined back — the corpus itself is scanned once and never
+    re-shuffled; a non-uniform target adds only a broadcast join against the
+    G-row targets table."""
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).cast("long").alias("n_tokens"))
     tot = g.agg(F.sum("n_tokens").alias("__tot"),
                 F.count(F.lit(1)).alias("__G"))
     share = F.col("n_tokens") / F.col("__tot")
-    target = F.lit(1.0) / F.col("__G")
-    return (g.crossJoin(F.broadcast(tot))
-            .select(*group_cols, "n_docs", "n_tokens",
-                    F.round(share, 6).alias("token_share"),
-                    F.round(target / share, 6).alias("weight")))
+    g = g.crossJoin(F.broadcast(tot))
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("__G")
+    else:
+        spark = df.sparkSession
+        rows = [tuple(k) + (float(v),) if isinstance(k, (tuple, list))
+                else (k, float(v)) for k, v in target_shares.items()]
+        tgt = spark.createDataFrame(rows, group_cols + ["__target"])
+        g = g.join(F.broadcast(tgt), on=group_cols, how="left")
+        target = F.coalesce(F.col("__target"), F.lit(0.0))
+    return (g.select(*group_cols, "n_docs", "n_tokens",
+                     F.round(share, 6).alias("token_share"),
+                     F.round(target / share, 6).alias("weight")))
 
 
 def sql_unit_hash(id_expr: str, seed: int, hex2int_15: str) -> str:

@@ -123,6 +123,51 @@ def test_csv_arrival_order_detects_ts_violation(spark, tmp_path):
     assert any("ordering" in i for i in v["issues"])
 
 
+def test_csv_multi_partition_dense_seq_labels(spark, tmp_path):
+    """A CSV that Spark splits into MANY input partitions must still yield a
+    dense 0-based per-source seq — the label kernel indexes tick arrays
+    positionally, so the raw monotonically_increasing_id (with ~2^33 gaps
+    between splits) would crash or silently mislabel. Full pipeline parity
+    vs the same ticks loaded as one in-memory DataFrame."""
+    from forex_feature_generator_spark import synth
+    from forex_feature_generator_spark.engine import pipeline as epipe
+
+    ticks = synth.gen_ticks(n_sources=1, ticks_per_source=3400,
+                            hot_sources=0, seed=7, mean_gap_s=6.0)
+    path = str(tmp_path / "mp.csv")
+    with open(path, "w") as f:
+        f.write("Timestamp,Bid,Ask\n")
+        for r in ticks[["ts", "bid", "ask"]].itertuples(index=False):
+            f.write(f"{r.ts},{r.bid!r},{r.ask!r}\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        loaded = tick_source.load_ticks_csv(spark, path)
+        raw_parts = tick_source._raw(spark, path).rdd.getNumPartitions()
+        assert raw_parts > 1, "fixture must actually split the file"
+        seqs = sorted(r["seq"] for r in loaded.select("seq").collect())
+        assert seqs == list(range(len(ticks)))   # dense 0..n-1, no split gaps
+
+        got = (epipe.run_pipeline(spark, loaded)
+               .orderBy("ts_us").toPandas())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    import pyspark.sql.functions as F
+    ref_in = (spark.createDataFrame(ticks).drop("source")
+              .withColumn("source", F.lit("default")).repartition(1))
+    exp = epipe.run_pipeline(spark, ref_in).orderBy("ts_us").toPandas()
+    assert len(got) == len(exp) > 50
+    assert (got["label"].to_numpy() == exp["label"].to_numpy()).all()
+    assert (got["ts_us"].to_numpy() == exp["ts_us"].to_numpy()).all()
+    feat_cols = [c for c in got.columns
+                 if c not in ("source", "ts_us", "timestamp", "label")]
+    import numpy as np
+    assert np.allclose(got[feat_cols].to_numpy("float64"),
+                       exp[feat_cols].to_numpy("float64"), atol=1e-9)
+
+
 def test_csv_source_feeds_pipeline(spark, tmp_path):
     """Round-trip: a reference-shaped CSV drives the bar aggregation."""
     from forex_feature_generator_spark import synth

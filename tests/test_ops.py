@@ -444,7 +444,8 @@ def test_select_token_budget(spark):
 
 
 def test_mixture_weights(spark):
-    """Token shares + uniform-target reweights on a 3-group frame."""
+    """Token shares + uniform-target reweights on a 4-group frame:
+    (a,en) (b,en) (b,de) (c,en) -> G = 4, uniform target share 0.25."""
     from forex_feature_generator_spark.ops.sampling import mixture_weights
     pdf = pd.DataFrame({
         "source": ["a", "a", "b", "b", "c"],
@@ -454,7 +455,27 @@ def test_mixture_weights(spark):
     got = {(r["source"], r["lang"]):
            (r["n_docs"], r["n_tokens"], r["token_share"], r["weight"])
            for r in mixture_weights(df, ["source", "lang"]).collect()}
-    tot, G = 1000.0, 3
+    G = 4
+    assert len(got) == G
     assert got[("a", "en")] == (2, 400, 0.4, round((1 / G) / 0.4, 6))
     assert got[("b", "en")] == (1, 400, 0.4, round((1 / G) / 0.4, 6))
     assert got[("b", "de")] == (1, 100, 0.1, round((1 / G) / 0.1, 6))
+    assert got[("c", "en")] == (1, 100, 0.1, round((1 / G) / 0.1, 6))
+
+
+def test_mixture_weights_targeted(spark):
+    """Non-uniform target_shares: weight = target/actual; absent group -> 0."""
+    from forex_feature_generator_spark.ops.sampling import mixture_weights
+    pdf = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "c"],
+        "lang": ["en", "en", "en", "de", "en"],
+        "n_tokens": [100, 300, 400, 100, 100]})
+    df = spark.createDataFrame(pdf)
+    targets = {("a", "en"): 0.5, ("b", "en"): 0.3, ("b", "de"): 0.2}
+    got = {(r["source"], r["lang"]): r["weight"]
+           for r in mixture_weights(df, ["source", "lang"],
+                                    target_shares=targets).collect()}
+    assert got[("a", "en")] == round(0.5 / 0.4, 6)
+    assert got[("b", "en")] == round(0.3 / 0.4, 6)
+    assert got[("b", "de")] == round(0.2 / 0.1, 6)
+    assert got[("c", "en")] == 0.0  # absent from targets -> dropped
