@@ -30,8 +30,8 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     frozen merge table in ops/bpe.py (chained JVM replace, still no Python)."""
     ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     if bpe == "vocab":
-        from .bpe import _encoded_string
-        s = _encoded_string(F.col(text_col))
+        from .bpe import MERGES, _encoded_string
+        s = _encoded_string(F.col(text_col), MERGES)
         n_syms = (F.length(s) - F.length(F.replace(s, F.lit(",,"), F.lit(",")))
                   + F.lit(1))
         bpe_cnt = F.when(F.length(s) == 0, F.lit(0)).otherwise(n_syms).cast("long")

@@ -93,3 +93,81 @@ def test_merge_table_valid():
         assert a in known and b in known, (a, b)
         assert a + b not in known, (a, b)
         known.add(a + b)
+
+
+# ---------------------------------------------------------------------------
+# Large-vocab path (broadcast + pandas-UDF classic encoder) — the plan a real
+# learned 10k-100k-merge vocab takes; the codegen replace chain is gated at
+# CODEGEN_MAX_MERGES.
+# ---------------------------------------------------------------------------
+
+def synth_merges(n: int) -> list[tuple[str, str]]:
+    """Deterministic valid merge table of size n: level-1 letter pairs, then
+    level-2 (pair, letter) merges — operands always exist, outputs distinct
+    (asserted for real by build_vocab)."""
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    merges: list[tuple[str, str]] = []
+    known = set(B.BASE_SYMBOLS)
+    for a in letters:
+        for b in letters:
+            if len(merges) >= n:
+                return merges
+            if a + b not in known:
+                merges.append((a, b))
+                known.add(a + b)
+    for a, b in list(merges):
+        for c in letters:
+            if len(merges) >= n:
+                return merges
+            if a + b + c not in known:
+                merges.append((a + b, c))
+                known.add(a + b + c)
+    return merges
+
+
+def test_large_vocab_udf_path(spark):
+    """>=1k-merge synthetic vocab through the pandas-UDF path: ids and
+    counts equal the pure-Python sequential encoder on the same table."""
+    merges = synth_merges(1200)
+    assert len(merges) >= 1000
+    vocab = B.build_vocab(merges)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    got = {r["doc_id"]: r
+           for r in B.bpe_encode(docs, merges=merges).collect()}
+    for i, t in enumerate(TEXTS):
+        syms = B.encode_py(t, merges)
+        assert got[i]["token_ids"] == [vocab[s] for s in syms], t
+        assert got[i]["n_bpe_tokens"] == len(syms), t
+
+
+def test_codegen_and_udf_paths_agree(spark):
+    """The SAME mid-size table pushed through both paths (gate forced each
+    way) produces identical rows."""
+    merges = synth_merges(120)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    a = {r["doc_id"]: (r["n_bpe_tokens"], r["token_ids"]) for r in
+         B.bpe_encode(docs, merges=merges, codegen_max_merges=1000).collect()}
+    b = {r["doc_id"]: (r["n_bpe_tokens"], r["token_ids"]) for r in
+         B.bpe_encode(docs, merges=merges, codegen_max_merges=1).collect()}
+    assert a == b
+
+
+def test_load_merges(tmp_path):
+    """Vocab-file round trip: 'left right' per line, comments/blanks
+    skipped, rank order preserved."""
+    p = tmp_path / "merges.txt"
+    p.write_text("# bpe merges v1\nt h\nth e\n\ni n\n")
+    assert B.load_merges(str(p)) == [("t", "h"), ("th", "e"), ("i", "n")]
+
+
+def test_frozen_default_unchanged(spark):
+    """bpe_encode with no merges argument still runs the frozen table on the
+    codegen path (q43's plan: pure Project, no Python)."""
+    docs = spark.createDataFrame([(0, TEXTS[0])], "doc_id int, text string")
+    df = B.bpe_encode(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    row = df.collect()[0]
+    assert row["n_bpe_tokens"] == len(classic_bpe(TEXTS[0]))
