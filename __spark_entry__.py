@@ -1519,6 +1519,95 @@ FROM g CROSS JOIN tot
 """
 
 
+def q51_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): hash-
+    sampled quantizer cells bound the pairwise candidate work, within-cell
+    cosine >= t marks near-dups, lowest id kept — see
+    ops/similarity.py::semantic_dedup. The oracle mirrors the identical
+    deterministic quantizer + pair rule."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return (SIM.semantic_dedup(emb, threshold=0.35, n_cells=16)
+            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                    "is_dup"))
+
+
+SQL_Q51 = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+picked AS (
+  SELECT md5(vec_id::VARCHAR) AS h, vec_id AS cid, ev
+  FROM v ORDER BY h, cid LIMIT 16),
+cents AS (SELECT row_number() OVER (ORDER BY h, cid) AS cell, ev AS cv
+          FROM picked),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.ev, c.cv) DESC,
+                                       c.cell ASC) AS cr
+    FROM v, cents c) WHERE cr <= 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       JOIN v va ON va.vec_id = a.vec_id
+       JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.ev, vb.ev)
+              / (sqrt(list_dot_product(va.ev, va.ev))
+                 * sqrt(list_dot_product(vb.ev, vb.ev))), 6) >= 0.35)
+SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+def q52_unigram_kl(spark, sf_dir):
+    """Per-source unigram-distribution drift: KL(P_source || P_corpus) over
+    word frequencies + vocab size + token mass — the corpus-QA scan that
+    catches a source whose token distribution shifted between snapshots.
+    One explode + (source, word) partial-agg shuffle; word totals joined BY
+    KEY (vocab-sized, never broadcast) — see ops/text.py::unigram_kl."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.unigram_kl(docs)
+
+
+SQL_Q52 = """
+WITH w AS (
+  SELECT source AS grp,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+wf AS (SELECT grp, w, count(*) AS n_gw FROM w WHERE w <> '' GROUP BY grp, w),
+gt AS (SELECT grp, sum(n_gw)::BIGINT AS n_g FROM wf GROUP BY grp),
+wt AS (SELECT w, sum(n_gw)::BIGINT AS n_w FROM wf GROUP BY w),
+tot AS (SELECT sum(n_gw)::BIGINT AS n_c FROM wf)
+SELECT grp AS group_key,
+       round(sum((n_gw / n_g::DOUBLE)
+                 * ln((n_gw / n_g::DOUBLE) / (n_w / n_c::DOUBLE))), 6) AS kl,
+       count(*) AS vocab,
+       max(n_g) AS n_words
+FROM wf JOIN gt USING (grp) JOIN wt USING (w), tot
+GROUP BY grp
+"""
+
+
+def q53_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + shard/position assignment for training
+    export: (shard, pos) a pure function of hash(id) — reproducible, order-
+    insensitive, per-shard-bounded ranking (no global sort) — see
+    ops/sampling.py::shard_assign."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    return SMP.shard_assign(docs, 8).select("doc_id", "shard", "pos")
+
+
+SQL_Q53 = f"""
+SELECT doc_id,
+       ({_sql_hash()} % 8)::INTEGER AS shard,
+       (row_number() OVER (PARTITION BY ({_sql_hash()} % 8)
+                           ORDER BY {_sql_hash()} ASC, doc_id ASC)
+        - 1)::BIGINT AS pos
+FROM documents
+"""
+
+
 def q37_ann_ivf(spark, sf_dir):
     """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
     centroids partition the corpus into cells, queries probe their 2 best
@@ -1623,6 +1712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_tfidf_topk": q48_tfidf_topk,
         "q49_token_budget": q49_token_budget,
         "q50_mixture_weights": q50_mixture_weights,
+        "q51_semdedup": q51_semdedup,
+        "q52_unigram_kl": q52_unigram_kl,
+        "q53_shard_assign": q53_shard_assign,
     }
 
 
@@ -1678,4 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_tfidf_topk": SQL_Q48,
         "q49_token_budget": SQL_Q49,
         "q50_mixture_weights": SQL_Q50,
+        "q51_semdedup": SQL_Q51,
+        "q52_unigram_kl": SQL_Q52,
+        "q53_shard_assign": SQL_Q53,
     }

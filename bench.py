@@ -29,6 +29,21 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH", "corpus")
 
+# In-run absolute host-speed anchor (VERDICT r3 task 3): a PINNED tiny
+# reference job (fixed corpus, fixed parallelism, fresh JVM, interleaved
+# median-of-3) whose wall-time divides every headline number — cross-round
+# and vs-BASELINE comparisons are ratios to this anchor, immune to the
+# host's demonstrated 2-3x speed drift between rounds.
+ANCHOR_JOB_SPEC = "64x20000"
+ANCHOR_JOB_CORES = 4
+# Anchored baseline (recorded round 4, the first anchored run — see
+# BASELINE.md "Host-normalized gate"): feature_rows_per_anchor_high =
+# rows/sec at local[CPUS] x anchor-job seconds in the SAME run. None until
+# the first anchored run of a round establishes it.
+ANCHORED_BASELINE: dict = {
+    "feature_rows_per_anchor_high": None,  # filled from BENCH_r04
+}
+
 HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",
             "q07_asof_join", "q10_broadcast_norm", "q12_tpch_q1",
             "q15_ngram_jaccard", "q16_minhash", "q18_ann_cosine",
@@ -104,26 +119,28 @@ def _tree_cpu_seconds() -> float:
 
 def bench_features(cores: int, corpus: str, warm: bool = True,
                    trials: int = 1) -> tuple[float, int, float]:
-    """Feature+label pipeline wall time at a given parallelism. Returns
-    (min seconds over trials, rows, effective cores used at the best trial).
+    """Feature+label pipeline STEADY-STATE wall time at a given parallelism.
+    Returns (min seconds over trials, rows, effective cores at best trial).
 
-    * warm-up run over a small source subset: the 150-column plans cost
-      ~tens of seconds of one-time JIT/janino compilation per JVM
-    * min over trials: this sandbox host shows 2-3x run-to-run noise on
-      identical warmed runs (shared-tenancy CPU); the minimum is the
-      least-interference estimate (protocol documented in BENCH/BASELINE.md)
+    * warm-up = one FULL untimed run of the identical job (round-4 lesson,
+      BENCH/probe32.py): a small-subset warm-up leaves the 150-column
+      wholestage-codegen classes for C2 to compile DURING the measured
+      window — until compilation lands, every task thread executes the
+      generated monsters interpreted/C1, burning 3-10x JVM CPU. Whether C2
+      won the race before the window made local[32] bimodal (16 s vs 74 s on
+      identical input). A full-plan warm-up compiles + profiles everything
+      the timed run executes; timed trials then measure steady state (the
+      regime a 100 TB job lives in — JIT is a fixed ~1 min, not a rate),
+      and the local[32] spread collapsed from 4.3x to 1.08x.
+    * min over trials: least-interference estimate on this shared-tenancy
+      host (protocol documented in BENCH/BASELINE.md)
     """
-    from pyspark.sql import functions as F
     from forex_feature_generator_spark.engine import skew as eskew
     spark = _session(cores, f"ffg-bench-{cores}")
     try:
         ticks = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
         if warm:
-            warm_sources = [r[0] for r in
-                            ticks.select("source").distinct().limit(2).collect()]
-            eskew.run_pipeline_salted(
-                spark, ticks.filter(F.col("source").isin(warm_sources)),
-                chunk_bars=4000).count()
+            eskew.run_pipeline_salted(spark, ticks, chunk_bars=4000).count()
         best = float("inf")
         rows = 0
         eff_cores = 0.0
@@ -141,26 +158,60 @@ def bench_features(cores: int, corpus: str, warm: bool = True,
         spark.stop()
 
 
+def bench_tokens_once(cores: int) -> tuple[float, int, float, float]:
+    """One warmed measurement of the north-rule tokens pipeline (window
+    features + the 148-feature Arrow kernel over the derived bar series).
+    Returns (full148 sec, rows, effective cores, window sec) — run via the
+    interleaved matrix so the tokens numbers get the same median-of-3 +
+    contention-spreading treatment as the feature levels (round-3 task 7:
+    the un-matrixed tokens number swung 4x between invocations)."""
+    from forex_feature_generator_spark.engine import tokens as etok
+    path = _ensure_seq_corpus()
+    spark = _session(cores, f"ffg-bench-tokens-{cores}")
+    try:
+        seqs = spark.read.parquet(os.path.join(path, "seqs.parquet"))
+        # FULL untimed warm-up runs: compile + profile the identical plans
+        # so the timed window measures steady state (see bench_features)
+        etok.window_features(seqs).count()
+        etok.full_features(seqs).count()
+        t0 = time.time()
+        n_win = etok.window_features(seqs).count()
+        t_win = time.time() - t0
+        c0 = _tree_cpu_seconds()
+        t0 = time.time()
+        etok.full_features(seqs).count()
+        t_full = time.time() - t0
+        eff = (_tree_cpu_seconds() - c0) / t_full
+        return t_full, n_win, eff, t_win
+    finally:
+        spark.stop()
+
+
 def bench_features_subprocess_trials(cores: int, corpus: str,
                                      trials: int = 4,
-                                     timeout: int = 5400) -> tuple[float, int, float]:
+                                     timeout: int = 5400,
+                                     kind: str = "features"):
     """Fresh JVM per measurement so both parallelism levels see identical
-    JIT conditions (fairness of the N vs 4N comparison)."""
+    JIT conditions (fairness of the N vs 4N comparison). kind="tokens" runs
+    bench_tokens_once instead (corpus ignored); the 4th tuple element is
+    the window-features seconds."""
     import subprocess
+    expr = (f"bench.bench_tokens_once({cores})" if kind == "tokens"
+            else f"bench.bench_features({cores}, {corpus!r}, trials={trials})")
     code = (f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
             f"import bench, json; "
-            f"r = bench.bench_features({cores}, {corpus!r}, trials={trials}); "
+            f"r = {expr}; "
             f"print('RESULT ' + json.dumps(list(r)))")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=timeout)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            dt, rows, eff = json.loads(line[7:])
-            return dt, rows, eff
+            vals = json.loads(line[7:])
+            return tuple(vals)
     raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
-def bench_features_matrix(jobs: list[tuple[str, int, str]],
+def bench_features_matrix(jobs: list[tuple],
                           trials: int = 3) -> dict[str, dict]:
     """Runs every (key, cores, corpus) job `trials` times, INTERLEAVED
     round-robin (job A trial 1, job B trial 1, ..., A trial 2, B trial 2,
@@ -178,24 +229,29 @@ def bench_features_matrix(jobs: list[tuple[str, int, str]],
     is recorded in `retried`, not silently folded into the median."""
     import statistics
     import subprocess
-    samples: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
-    effs: dict[str, list[float]] = {k: [] for k, _, _ in jobs}
+    jobs = [j if len(j) == 4 else (*j, "features") for j in jobs]
+    samples: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
+    effs: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
+    extras: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
     rows: dict[str, int] = {}
-    retried: dict[str, int] = {k: 0 for k, _, _ in jobs}
+    retried: dict[str, int] = {k: 0 for k, _, _, _ in jobs}
     for _ in range(max(1, trials)):
-        for key, cores, corpus in jobs:
+        for key, cores, corpus, kind in jobs:
             try:
-                dt, r, e = bench_features_subprocess_trials(
-                    cores, corpus, trials=1, timeout=1500)
+                res = bench_features_subprocess_trials(
+                    cores, corpus, trials=1, timeout=1500, kind=kind)
             except (subprocess.TimeoutExpired, RuntimeError):
                 retried[key] += 1
-                dt, r, e = bench_features_subprocess_trials(
-                    cores, corpus, trials=1, timeout=1500)
+                res = bench_features_subprocess_trials(
+                    cores, corpus, trials=1, timeout=1500, kind=kind)
+            dt, r, e = res[0], res[1], res[2]
             samples[key].append(dt)
             effs[key].append(e)
+            if len(res) > 3:
+                extras[key].append(res[3])
             rows[key] = r
     out = {}
-    for key, cores, _ in jobs:
+    for key, cores, _, _ in jobs:
         med = statistics.median(samples[key])
         out[key] = {
             "cores": cores,
@@ -207,6 +263,9 @@ def bench_features_matrix(jobs: list[tuple[str, int, str]],
             "trial_spread": round(max(samples[key]) / min(samples[key]), 2),
             "retried": retried[key],
         }
+        if extras[key]:
+            out[key]["extra_sec"] = round(statistics.median(extras[key]), 2)
+            out[key]["extra_trials_sec"] = [round(x, 2) for x in extras[key]]
     return out
 
 
@@ -225,7 +284,13 @@ def host_cpu_ceiling(levels=(1, 2, 4, 8, 32)) -> dict[str, float]:
     k * t1 / tk is the speedup the box can physically deliver at k-way
     concurrency — the denominator for normalizing N->4N efficiency on a
     single-socket VM (a real 4N-executor cluster adds sockets/DRAM with
-    nodes and does not share this ceiling)."""
+    nodes and does not share this ceiling).
+
+    Also records "t1_sec": the RAW single-process seconds for the fixed
+    deterministic _burn loop — an absolute host-speed anchor. Cross-round
+    wall-clock comparisons are meaningless without it on this shared-tenancy
+    box (round 3 lesson: the host drifted 2-3x slower between rounds and the
+    raw numbers read as a code regression)."""
     from concurrent.futures import ProcessPoolExecutor
     out = {}
     t1 = None
@@ -240,6 +305,7 @@ def host_cpu_ceiling(levels=(1, 2, 4, 8, 32)) -> dict[str, float]:
         if t1 is None:
             t1 = tk
         out[str(k)] = round(k * t1 / tk, 2)
+    out["t1_sec"] = round(t1, 3)
     return out
 
 
@@ -321,13 +387,22 @@ def main() -> None:
         small = _ensure_corpus("96x50000h0")
         weak_lo = _ensure_corpus("32x50000h0")
         weak_hi = _ensure_corpus("128x50000h0")
+        anchor_corpus = _ensure_corpus(ANCHOR_JOB_SPEC)
 
         ceil_before = host_cpu_ceiling()
         jobs = ([(f"strong{c}", c, corpus) for c in levels]
                 + [("pair1", 1, small), ("pair4", 4, small),
-                   ("weak2", 2, weak_lo), ("weak8", 8, weak_hi)])
+                   ("weak2", 2, weak_lo), ("weak8", 8, weak_hi),
+                   # pinned tiny reference job: in-run absolute host anchor —
+                   # every cross-round comparison divides by its wall-time
+                   ("anchor", ANCHOR_JOB_CORES, anchor_corpus),
+                   # tokens pipeline folded into the same interleaved
+                   # median-of-3 protocol (its un-matrixed number swung 4x)
+                   ("tokens", CPUS, "", "tokens")])
         m = bench_features_matrix(jobs, trials=3)
         ceil_after = host_cpu_ceiling()
+        anchor_t1 = {"before": ceil_before.pop("t1_sec"),
+                     "after": ceil_after.pop("t1_sec")}
         ceil = {k: round(min(ceil_before[k], ceil_after.get(k, 99.0)), 2)
                 for k in ceil_before}
 
@@ -421,12 +496,50 @@ def main() -> None:
             if str(hi) in ceil and str(mid) in ceil else None,
         }
 
+        # ---- absolute host anchors + normalized vs-baseline figure ----
+        anchor = m["anchor"]
+        # rows/sec x anchor-seconds = feature rows produced per one
+        # anchor-job-duration of wall time: host-speed-invariant (both
+        # numerator and denominator slow down together when the host does)
+        rows_per_anchor = round(perf[hi]["rows_per_sec"] * anchor["sec"], 1)
+        base = ANCHORED_BASELINE.get("feature_rows_per_anchor_high")
+        scaling.update({
+            # raw single-thread seconds of the fixed _burn loop (absolute
+            # host-speed probe), before and after the measurement window
+            "host_anchor_t1_sec": anchor_t1,
+            "anchor_job": {
+                "spec": f"{ANCHOR_JOB_SPEC}@local[{ANCHOR_JOB_CORES}], "
+                        "salted feature pipeline, fresh JVM",
+                "sec": anchor["sec"],
+                "rows": anchor["rows"],
+                "trials_sec": anchor["trials_sec"],
+                "trial_spread": anchor["trial_spread"],
+            },
+            "feature_rows_per_anchor_high": rows_per_anchor,
+            # ratio to the anchored baseline (BASELINE.md); >1 = faster
+            # than baseline after host-speed normalization
+            "vs_baseline_normalized": (round(rows_per_anchor / base, 3)
+                                       if base else None),
+        })
+
     spark = _session(CPUS, "ffg-bench-queries")
     try:
         t0 = time.time()
         queries = bench_queries(spark)
         suite_sec = time.time() - t0
-        tokens = bench_tokens(spark)
+        if args.skip_scaling:
+            tokens = bench_tokens(spark)     # quick-smoke mode: in-session
+        else:
+            tok = m["tokens"]
+            tokens = {
+                "tokens_window_rows_per_sec": round(
+                    tok["rows"] / tok["extra_sec"], 1),
+                "tokens_full148_rows_per_sec": tok["rows_per_sec"],
+                "tokens_rows": tok["rows"],
+                "tokens_full148_trials_sec": tok["trials_sec"],
+                "tokens_window_trials_sec": tok["extra_trials_sec"],
+                "tokens_trial_spread": tok["trial_spread"],
+            }
         if not args.skip_scaling:
             # hot-bar lineage: the in-bar direction fold buffers
             # ticks-per-bar structs in one agg buffer; record the corpus's

@@ -166,3 +166,27 @@ def sql_unit_hash(id_expr: str, seed: int, hex2int_15: str) -> str:
     """DuckDB mirror of _unit_hash for oracle construction; hex2int_15 is the
     caller's 15-hex-char conversion of md5('seed:' || id)."""
     return f"({hex2int_15} % {HASH_BUCKETS})"
+
+
+def shard_assign(df: DataFrame, n_shards: int,
+                 id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every doc gets (shard, pos) from a hash of its id — shard = h mod S,
+    pos = rank of h within the shard. Reproducible across runs and
+    insensitive to input order/partitioning (the property a resumable
+    100 TB export needs: re-running assigns every old doc the same slot).
+
+    Scale shape: one hash computation per row + a per-shard rank. The
+    window partitions BY SHARD (bounded, corpus/S rows per partition) —
+    no global single-partition sort; at 100 TB pick n_shards >= cores so
+    shard ranking parallelizes across the cluster.
+
+    Returns input columns + (shard int, pos long)."""
+    h = _unit_hash(id_col, seed)
+    from pyspark.sql import Window
+    d = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
+                                            F.col(id_col).asc())
+    return (d.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("__h"))

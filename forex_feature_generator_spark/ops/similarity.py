@@ -106,19 +106,13 @@ def embedding_near_dups_lsh(corpus: DataFrame, dim: int,
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_cells: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-style approximate top-k: the corpus is partitioned into cells
-    around deterministic centroids (the n_cells corpus vectors ranked first
-    by md5(id) — a hash-sampled quantizer, fully oracle-mirrorable), each
-    vector is assigned to its max-dot-product cell, a query probes its
-    n_probe best cells, and candidates get an exact cosine rerank.
-
-    Scale shape: the centroid table is tiny (broadcast); assignment is a
-    JVM-side broadcast join + max_by (n_cells dot products per row, one
-    pass); the candidate join is an equi-join on cell — per-query work is
-    ~n_probe/n_cells of the corpus, never all of it."""
+def hash_centroids(corpus: DataFrame, n_cells: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic hash-sampled quantizer shared by ivf_topk and
+    semantic_dedup: the n_cells corpus vectors ranked first by md5(id) —
+    fully oracle-mirrorable, no iterative k-means state. Returned as
+    (cell, c_vec); tiny, meant to be broadcast."""
     # top-K by hash via distributed TakeOrdered (orderBy+limit — no global
     # single-partition window); the row_number runs on the K-row result only
     picked = (corpus
@@ -127,10 +121,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       F.col(vec_col).alias("c_vec"))
               .orderBy(F.col("__h").asc(), F.col("__cid").asc())
               .limit(n_cells))
-    cents = (picked
-             .withColumn("cell", F.row_number().over(
-                 Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
-             .select("cell", "c_vec"))
+    return (picked
+            .withColumn("cell", F.row_number().over(
+                Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
+            .select("cell", "c_vec"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into cells
+    around deterministic centroids (hash_centroids), each vector is assigned
+    to its max-dot-product cell, a query probes its n_probe best cells, and
+    candidates get an exact cosine rerank.
+
+    Scale shape: the centroid table is tiny (broadcast); assignment is a
+    JVM-side broadcast join + max_by (n_cells dot products per row, one
+    pass); the candidate join is an equi-join on cell — per-query work is
+    ~n_probe/n_cells of the corpus, never all of it."""
+    cents = hash_centroids(corpus, n_cells, id_col, vec_col)
 
     def assign(df, idn, keep_vec, probes):
         d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))
@@ -215,3 +224,52 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
+                   n_cells: int = 16,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then mark within-cluster semantic
+    near-duplicates — pairs whose cosine exceeds `threshold` — keeping the
+    lowest-id member of each near-dup relation (keep-first policy; the
+    paper keeps the member farthest from the centroid — id is the
+    deterministic, oracle-mirrorable stand-in). Returns
+    (vec_id, cell, is_dup): downstream drops is_dup rows.
+
+    Clustering uses the deterministic hash-sampled quantizer
+    (hash_centroids) instead of iterative k-means — same cell-bounding
+    effect, zero iterative state, exactly reproducible in the DuckDB oracle.
+
+    Scale shape (100 TB): centroids broadcast (n_cells rows); assignment is
+    one corpus scan with n_cells JVM dot products per row; the pairwise
+    check is an equi-self-join ON CELL, so candidate work is sum(|cell|^2)
+    not |corpus|^2 — exactly the trade SemDeDup's clustering buys. Cosine
+    compared on round(·, 6) so the Spark and oracle float paths bin
+    boundary pairs identically."""
+    cents = hash_centroids(corpus, n_cells, id_col, vec_col)
+    scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+              .crossJoin(F.broadcast(cents))
+              .withColumn("__dot", _dot(
+                  F.transform(F.col("__vec"), lambda x: x.cast("double")),
+                  F.transform(F.col("c_vec"), lambda x: x.cast("double")))))
+    w = Window.partitionBy(id_col).orderBy(F.col("__dot").desc(),
+                                           F.col("cell").asc())
+    assigned = (scored.withColumn("__cr", F.row_number().over(w))
+                .filter(F.col("__cr") <= 1)
+                .select(id_col, "__vec", "cell"))
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"),
+                        F.col("__vec").alias("va"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"),
+                        F.col("__vec").alias("vb"))
+    cos = with_cosine(
+        a.join(b, "cell").filter(F.col("id_b") < F.col("id_a")),
+        "va", "vb")
+    dups = (cos.filter(F.round(F.col("cosine"), 6) >= threshold)
+            .select(F.col("id_a").alias(id_col)).distinct()
+            .withColumn("__dup", F.lit(True)))
+    return (assigned.join(dups, id_col, "left")
+            .select(id_col, "cell",
+                    F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")))

@@ -236,3 +236,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
                           lambda acc, h: (acc * F.lit(31) + h) % F.lit(p))
     return (docs.withColumn("md5_fingerprint", F.md5(normalize_text(F.col(text_col))))
             .withColumn("rolling_fingerprint", rolling))
+
+
+def unigram_kl(docs: DataFrame, text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Per-group unigram-distribution drift: KL(P_group || P_corpus) over
+    word frequencies, plus group token mass and vocabulary size. The
+    corpus-QA step that catches a source whose token distribution shifted
+    between snapshots (scraper regression, new boilerplate, language drift)
+    before it poisons a training mix.
+
+      KL(g) = sum_w p_g(w) * ln(p_g(w) / p_c(w))
+
+    p_c is the whole-corpus distribution, so p_c(w) > 0 wherever
+    p_g(w) > 0 — no smoothing needed.
+
+    Scale shape (100 TB): one explode + partial-aggregated
+    groupBy(group, word) shuffle reduces the corpus to a (G x V)-row table;
+    word totals and group totals DERIVE from that table (vocab-sized
+    groupBys — the corpus is scanned once); the word-total join is BY KEY
+    against the vocab-sized table (never collected/broadcast: a web-scale
+    vocab with URLs and typos does not fit a broadcast), and the final
+    groupBy(group) is G rows."""
+    words = (docs.select(F.col(group_col).alias("grp"),
+                         F.explode(F.split(normalize_text(F.col(text_col)),
+                                           " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    gw = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("n_gw"))
+    g_tot = gw.groupBy("grp").agg(F.sum("n_gw").alias("n_g"))
+    w_tot = gw.groupBy("w").agg(F.sum("n_gw").alias("n_w"))
+    tot = gw.agg(F.sum("n_gw").alias("n_c"))
+    p_g = F.col("n_gw") / F.col("n_g")
+    p_c = F.col("n_w") / F.col("n_c")
+    term = p_g * F.log(p_g / p_c)
+    return (gw.join(g_tot, "grp").join(w_tot, "w")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("grp")
+            .agg(F.round(F.sum(term), 6).alias("kl"),
+                 F.count(F.lit(1)).alias("vocab"),
+                 F.max("n_g").alias("n_words"))
+            .select(F.col("grp").alias("group_key"), "kl", "vocab",
+                    "n_words"))

@@ -479,3 +479,55 @@ def test_mixture_weights_targeted(spark):
     assert got[("b", "en")] == round(0.3 / 0.4, 6)
     assert got[("b", "de")] == round(0.2 / 0.1, 6)
     assert got[("c", "en")] == 0.0  # absent from targets -> dropped
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup keep-first rule on planted near-dups (n_cells=1 so the pair
+    rule itself is isolated; cell bounding is covered by the q51 oracle and
+    the IVF tests): exact + near duplicates flagged, originals kept."""
+    from forex_feature_generator_spark.ops.similarity import semantic_dedup
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]),   # 2 ~ 1 (cos ~ 0.99995)
+            (3, [0.0, 1.0]), (4, [0.01, 1.0]),   # 4 ~ 3
+            (5, [1.0, 0.0])]                      # 5 == 1 exactly
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r["is_dup"]
+           for r in semantic_dedup(df, threshold=0.99, n_cells=1).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_unigram_kl_exact(spark):
+    """KL(P_group || P_corpus) against a hand-computed value."""
+    import math
+    from forex_feature_generator_spark.ops.text import unigram_kl
+    docs = spark.createDataFrame(
+        [(1, "x x y", "a"), (2, "x y y z", "b")],
+        "doc_id int, text string, source string")
+    got = {r["group_key"]: r for r in unigram_kl(docs).collect()}
+    # corpus: x=3, y=3, z=1, n=7
+    pc = {"x": 3 / 7, "y": 3 / 7, "z": 1 / 7}
+    ka = sum(p * math.log(p / pc[w])
+             for w, p in {"x": 2 / 3, "y": 1 / 3}.items())
+    kb = sum(p * math.log(p / pc[w])
+             for w, p in {"x": 1 / 4, "y": 2 / 4, "z": 1 / 4}.items())
+    assert got["a"]["n_words"] == 3 and got["a"]["vocab"] == 2
+    assert got["b"]["n_words"] == 4 and got["b"]["vocab"] == 3
+    assert abs(got["a"]["kl"] - ka) < 1e-6
+    assert abs(got["b"]["kl"] - kb) < 1e-6
+
+
+def test_shard_assign(spark):
+    """Deterministic (order/partitioning-insensitive) shard+pos; pos dense
+    0..k-1 within each shard."""
+    from forex_feature_generator_spark.ops.sampling import shard_assign
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id int")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shard_assign(docs, 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shard_assign(docs.repartition(7), 4).collect()}
+    assert a == b                               # partitioning-insensitive
+    by_shard = {}
+    for s, p in a.values():
+        assert 0 <= s < 4
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))   # dense per shard
