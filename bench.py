@@ -37,11 +37,11 @@ CORPUS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 ANCHOR_JOB_SPEC = "64x20000"
 ANCHOR_JOB_CORES = 4
 # Anchored baseline (recorded round 4, the first anchored run — see
-# BASELINE.md "Host-normalized gate"): feature_rows_per_anchor_high =
-# rows/sec at local[CPUS] x anchor-job seconds in the SAME run. None until
-# the first anchored run of a round establishes it.
+# BASELINE.md "Host-normalized gate" and BENCH/round4_bench_run1.json):
+# feature_rows_per_anchor_high = rows/sec at local[CPUS] x anchor-job
+# seconds in the SAME run (93,468.6 rows/s x 8.47 s anchor).
 ANCHORED_BASELINE: dict = {
-    "feature_rows_per_anchor_high": None,  # filled from BENCH_r04
+    "feature_rows_per_anchor_high": 791679.0,
 }
 
 HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",

@@ -28,7 +28,13 @@ def main() -> None:
     ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features",
-                    choices=["features", "tokens", "labels", "stream-features"])
+                    choices=["features", "tokens", "labels", "stream-features",
+                             "bpe"])
+    ap.add_argument("--bpe-merges",
+                    help="merges.txt (one 'left right' pair per line, rank "
+                         "order) for --mode bpe; omit for the frozen demo "
+                         "table. Tables past the codegen gate use the "
+                         "broadcast pandas-UDF encoder automatically")
     ap.add_argument("--no-chunking", action="store_true",
                     help="disable the default halo-chunked execution (one "
                          "unbounded pandas group per source — test/debug only)")
@@ -106,6 +112,15 @@ def main() -> None:
             n = 0
     elif args.mode == "tokens":
         out = etok.full_features(ticks)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    elif args.mode == "bpe":
+        # --input here is a documents table (doc_id, text); vocab from
+        # --bpe-merges or the frozen demo table. Path selection (codegen
+        # replace chain vs broadcast pandas-UDF) is automatic on table size.
+        from forex_feature_generator_spark.ops import bpe as BPE
+        merges = BPE.load_merges(args.bpe_merges) if args.bpe_merges else None
+        out = BPE.bpe_encode(ticks, merges=merges)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
     elif args.mode == "labels":
