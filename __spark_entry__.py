@@ -1608,6 +1608,93 @@ FROM documents
 """
 
 
+def q54_token_sequences(spark, sf_dir):
+    """The north-rule shape end-to-end on the hard-oracle gate: documents ->
+    real BPE -> the input_hint sequence table (doc_id, tokens:array<int>,
+    n_tok, source) -> engine.tokens.window_features (per-source derived
+    series + lag/lead deltas, trailing rolling mean/std, decayed mean,
+    sparse backfill) with the tokens array passed through BYTE-IDENTICAL
+    (csv-joined for the cross-engine hash). One shuffle on source feeds
+    every window; the oracle mirrors the identical BPE chain + window
+    frames in SQL."""
+    from forex_feature_generator_spark.engine import tokens as etok
+    from forex_feature_generator_spark.ops import bpe as BPE
+    docs = _load(spark, sf_dir, "documents")
+    seqs = (BPE.bpe_encode(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", F.col("token_ids").alias("tokens"),
+                    F.col("n_bpe_tokens").cast("int").alias("n_tok"),
+                    "source"))
+    out = etok.window_features(seqs)
+    return out.select(
+        "doc_id", "source",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "close",
+        "close_lag1_delta", "close_lead1_delta",
+        F.round("close_rmean20", 6).alias("close_rmean20"),
+        F.round("close_rstd20", 6).alias("close_rstd20"),
+        F.round("tick_volume_rmean20", 6).alias("volume_rmean20"),
+        F.round("close_ema20", 6).alias("close_ema20"),
+        "close_backfilled")
+
+
+def _sql_q54() -> str:
+    from forex_feature_generator_spark.ops.bpe import MERGES, VOCAB
+    s = "s0"
+    for a, b in MERGES:
+        s = f"replace({s}, ',{a},,{b},', ',{a}{b},')"
+    case = "CASE x " + " ".join(
+        f"WHEN '{sym}' THEN {i}" for sym, i in VOCAB.items()) + " END"
+    return f"""
+WITH n0 AS (
+  SELECT doc_id,
+         replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ', '_') AS t
+  FROM documents),
+w0 AS (SELECT doc_id, regexp_replace(t, '(.)', ',\\1,', 'g') AS s0 FROM n0),
+m AS (SELECT doc_id, {s} AS s FROM w0),
+seqs AS (
+  SELECT m.doc_id, d.source,
+         list_transform(string_split(substr(s, 2, length(s) - 2), ',,'),
+                        x -> {case}) AS ids
+  FROM m JOIN documents d USING (doc_id)),
+ser AS (
+  SELECT doc_id, source, ids,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS seq,
+         ids[-1]::DOUBLE AS close,
+         len(ids)::BIGINT AS n_tok
+  FROM seqs),
+feat AS (
+  SELECT doc_id, source, seq, close, n_tok,
+         array_to_string(ids, ',') AS tokens_csv,
+         close - lag(close, 1) OVER w AS close_lag1_delta,
+         lead(close, 1) OVER w - close AS close_lead1_delta,
+         round(avg(close) OVER wr, 6) AS close_rmean20,
+         round(coalesce(stddev_samp(close) OVER wr, 0), 6) AS close_rstd20,
+         round(avg(n_tok) OVER wr, 6) AS volume_rmean20,
+         list(close) OVER wr AS vals,
+         CASE WHEN seq % 7 = 0 THEN close END AS close_sparse
+  FROM ser
+  WINDOW w AS (PARTITION BY source ORDER BY seq),
+         wr AS (PARTITION BY source ORDER BY seq
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT doc_id, source, tokens_csv, n_tok, close,
+       close_lag1_delta, close_lead1_delta, close_rmean20, close_rstd20,
+       volume_rmean20,
+       round(
+         list_sum(list_transform(range(1, len(vals) + 1),
+                  i -> vals[i] * 0.9 ** (len(vals) - i)))
+         / list_sum(list_transform(range(1, len(vals) + 1),
+                  i -> 0.9 ** (len(vals) - i))), 6) AS close_ema20,
+       last_value(close_sparse IGNORE NULLS)
+         OVER (PARTITION BY source ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS close_backfilled
+FROM feat
+"""
+
+
 def q37_ann_ivf(spark, sf_dir):
     """IVF-style ANN (the second scale path next to q29's LSH): hash-sampled
     centroids partition the corpus into cells, queries probe their 2 best
@@ -1715,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_semdedup": q51_semdedup,
         "q52_unigram_kl": q52_unigram_kl,
         "q53_shard_assign": q53_shard_assign,
+        "q54_token_sequences": q54_token_sequences,
     }
 
 
@@ -1773,4 +1861,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_semdedup": SQL_Q51,
         "q52_unigram_kl": SQL_Q52,
         "q53_shard_assign": SQL_Q53,
+        "q54_token_sequences": _sql_q54(),
     }
