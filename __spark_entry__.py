@@ -1608,6 +1608,34 @@ FROM documents
 """
 
 
+def q55_incremental_dedup(spark, sf_dir):
+    """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs with
+    doc_id < 250 stand in for the already-ingested corpus (its hash table),
+    docs >= 250 are the new batch; seen-hash membership is a left-anti join
+    BY KEY (never broadcast — the seen set is corpus-sized at 100 TB),
+    then the batch exact-dedups keep-min-id."""
+    from forex_feature_generator_spark.ops import dedup as DD
+    docs = _load(spark, sf_dir, "documents")
+    seen = DD.exact_dedup(docs.filter(F.col("doc_id") < 250))
+    return DD.incremental_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+SQL_Q55 = """
+WITH seen AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS text_hash
+  FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS text_hash, doc_id
+  FROM documents WHERE doc_id >= 250)
+SELECT b.text_hash, min(b.doc_id) AS kept_id,
+       count(*) AS n_batch_dupes
+FROM batch b ANTI JOIN seen s ON b.text_hash = s.text_hash
+GROUP BY b.text_hash
+"""
+
+
 def q54_token_sequences(spark, sf_dir):
     """The north-rule shape end-to-end on the hard-oracle gate: documents ->
     real BPE -> the input_hint sequence table (doc_id, tokens:array<int>,
@@ -1803,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_unigram_kl": q52_unigram_kl,
         "q53_shard_assign": q53_shard_assign,
         "q54_token_sequences": q54_token_sequences,
+        "q55_incremental_dedup": q55_incremental_dedup,
     }
 
 
@@ -1862,4 +1891,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_unigram_kl": SQL_Q52,
         "q53_shard_assign": SQL_Q53,
         "q54_token_sequences": _sql_q54(),
+        "q55_incremental_dedup": SQL_Q55,
     }

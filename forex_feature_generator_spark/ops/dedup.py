@@ -47,6 +47,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_dupes")))
 
 
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_col: str = "text_hash") -> DataFrame:
+    """Incremental-crawl dedup: the per-batch step of a continuously-growing
+    corpus. Drops new docs whose normalized-text hash already exists in the
+    `seen` hash table (all previously-ingested content), then exact-dedups
+    WITHIN the batch (keep min id). Returns (text_hash, kept_id,
+    n_batch_dupes) — the rows to append to both the corpus and `seen`.
+
+    Scale shape (100 TB): `seen` is corpus-sized, so membership is a
+    LEFT ANTI join BY KEY on the 16-byte hash — one shuffle of hashes,
+    never text, never a broadcast (a seen-set broadcast is a driver OOM the
+    moment the corpus outgrows one machine); the within-batch dedup is the
+    same single partial-aggregated hash groupBy as exact_dedup. Re-running
+    a batch is idempotent: its survivors are in `seen`, so every row drops."""
+    key = F.md5(normalize_text(F.col(text_col))).alias(hash_col)
+    keyed = new_docs.select(key, F.col(id_col))
+    fresh = keyed.join(seen.select(hash_col).distinct(), hash_col, "left_anti")
+    return (fresh.groupBy(hash_col)
+            .agg(F.min(id_col).alias("kept_id"),
+                 F.count(F.lit(1)).alias("n_batch_dupes")))
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (id, shingle)."""

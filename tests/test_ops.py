@@ -531,3 +531,28 @@ def test_shard_assign(spark):
         by_shard.setdefault(s, []).append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps)))   # dense per shard
+
+
+def test_incremental_dedup_planted(spark):
+    """Batch-vs-seen semantics: seen hashes drop, within-batch dups collapse
+    to min id, and re-running the batch against updated seen is idempotent
+    (everything drops)."""
+    from forex_feature_generator_spark.ops.dedup import (exact_dedup,
+                                                         incremental_dedup)
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id int, text string")
+    seen = exact_dedup(old)
+    batch = spark.createDataFrame(
+        [(10, "ALPHA beta!"),          # dup of seen doc 1 -> dropped
+         (11, "epsilon zeta"),         # fresh
+         (12, "epsilon  zeta"),        # within-batch dup of 11
+         (13, "eta theta")],           # fresh
+        "doc_id int, text string")
+    got = {r["kept_id"]: r["n_batch_dupes"]
+           for r in incremental_dedup(batch, seen).collect()}
+    assert got == {11: 2, 13: 1}
+    # idempotence: append survivors to seen, re-run the same batch -> empty
+    from pyspark.sql import functions as F
+    seen2 = seen.select("text_hash").union(
+        incremental_dedup(batch, seen).select("text_hash"))
+    assert incremental_dedup(batch, seen2).count() == 0
