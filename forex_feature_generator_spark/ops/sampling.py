@@ -111,8 +111,13 @@ def select_token_budget(df: DataFrame, budget: int,
             pdf["__local_cum"] = c
             yield pdf
 
+    # Per-range totals come from a plain SUM over the PRE-cumsum branch:
+    # max(__local_cum) per partition equals sum(tokens), and deriving it
+    # below the mapInPandas would make the plan reference the Python cumsum
+    # twice (it would execute twice — only the range exchange is reused).
+    totals = part.groupBy("__pid").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__ptot"))
     part = part.mapInPandas(_local_cumsum, schema=schema)
-    totals = part.groupBy("__pid").agg(F.max("__local_cum").alias("__ptot"))
     # P rows -> the one intentionally-global window in the operator
     w_off = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -255,11 +255,19 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
               .withColumn("__dot", _dot(
                   F.transform(F.col("__vec"), lambda x: x.cast("double")),
                   F.transform(F.col("c_vec"), lambda x: x.cast("double")))))
-    w = Window.partitionBy(id_col).orderBy(F.col("__dot").desc(),
-                                           F.col("cell").asc())
-    assigned = (scored.withColumn("__cr", F.row_number().over(w))
-                .filter(F.col("__cr") <= 1)
-                .select(id_col, "__vec", "cell"))
+    # argmax cell per row via groupBy + max_by, NOT a per-id window: the
+    # n_cells-fold rows from the broadcast join sit in their source
+    # partition, so partial aggregation collapses them map-side and the
+    # exchange moves ONE row per vector (a window here would shuffle the
+    # exploded n_cells x corpus). Tie on dot -> lowest cell (mirrors the
+    # oracle's ORDER BY dot DESC, cell ASC).
+    assigned = (scored.groupBy(id_col)
+                .agg(F.max_by(
+                    F.struct(F.col("__vec"), F.col("cell")),
+                    F.struct(F.col("__dot"),
+                             (-F.col("cell")).alias("__nc"))).alias("__m"))
+                .select(id_col, F.col("__m.__vec").alias("__vec"),
+                        F.col("__m.cell").alias("cell")))
     a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"),
                         F.col("__vec").alias("va"))
     b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"),
