@@ -1608,6 +1608,60 @@ FROM documents
 """
 
 
+def q56_chunk_sequences(spark, sf_dir):
+    """Context-length chunking (engine/tokens.py::chunk_sequences — the
+    complement of q34's packing): BPE sequences split into <=40-token
+    training windows with 8-token overlap. Pure per-row explode + slice, no
+    shuffle, no UDF; the oracle mirrors the chain + list_slice windows."""
+    from forex_feature_generator_spark.engine import tokens as etok
+    from forex_feature_generator_spark.ops import bpe as BPE
+    docs = _load(spark, sf_dir, "documents")
+    seqs = (BPE.bpe_encode(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", F.col("token_ids").alias("tokens"),
+                    F.col("n_bpe_tokens").cast("int").alias("n_tok"),
+                    "source"))
+    ch = etok.chunk_sequences(seqs, max_len=40, overlap=8)
+    return ch.select("doc_id", "source",
+                     F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                     F.array_join("chunk_tokens", ",").alias("chunk_csv"),
+                     F.col("chunk_len").cast("long").alias("chunk_len"))
+
+
+def _sql_q56() -> str:
+    from forex_feature_generator_spark.ops.bpe import MERGES, VOCAB
+    s = "s0"
+    for a, b in MERGES:
+        s = f"replace({s}, ',{a},,{b},', ',{a}{b},')"
+    case = "CASE x " + " ".join(
+        f"WHEN '{sym}' THEN {i}" for sym, i in VOCAB.items()) + " END"
+    return f"""
+WITH n0 AS (
+  SELECT doc_id,
+         replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ', '_') AS t
+  FROM documents),
+w0 AS (SELECT doc_id, regexp_replace(t, '(.)', ',\\1,', 'g') AS s0 FROM n0),
+m AS (SELECT doc_id, {s} AS s FROM w0),
+seqs AS (
+  SELECT m.doc_id, d.source,
+         list_transform(string_split(substr(s, 2, length(s) - 2), ',,'),
+                        x -> {case}) AS ids
+  FROM m JOIN documents d USING (doc_id)),
+ch AS (
+  SELECT doc_id, source, ids,
+         unnest(range(greatest(ceil((len(ids) - 8) / 32.0)::INTEGER, 1)))
+           AS chunk_idx
+  FROM seqs WHERE len(ids) > 0)
+SELECT doc_id, source, chunk_idx::BIGINT AS chunk_idx,
+       array_to_string(list_slice(ids, chunk_idx * 32 + 1,
+                                  chunk_idx * 32 + 40), ',') AS chunk_csv,
+       len(list_slice(ids, chunk_idx * 32 + 1,
+                      chunk_idx * 32 + 40))::BIGINT AS chunk_len
+FROM ch
+"""
+
+
 def q55_incremental_dedup(spark, sf_dir):
     """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs with
     doc_id < 250 stand in for the already-ingested corpus (its hash table),
@@ -1832,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_shard_assign": q53_shard_assign,
         "q54_token_sequences": q54_token_sequences,
         "q55_incremental_dedup": q55_incremental_dedup,
+        "q56_chunk_sequences": q56_chunk_sequences,
     }
 
 
@@ -1892,4 +1947,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_shard_assign": SQL_Q53,
         "q54_token_sequences": _sql_q54(),
         "q55_incremental_dedup": SQL_Q55,
+        "q56_chunk_sequences": _sql_q56(),
     }

@@ -38,10 +38,13 @@ def with_derived_series(seqs: DataFrame) -> DataFrame:
           .withColumn("seq", (F.row_number().over(w) - F.lit(1)).cast("long"))
           .withColumn("ts_us", F.lit(EPOCH_US) + F.col("seq") * F.lit(60_000_000).cast("long"))
           .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-          .withColumn("open", F.element_at("tokens", 1).cast("double"))
+          # F.get is NULL-safe out-of-bounds — an empty tokens array yields
+          # NULL series values instead of an ANSI element_at error
+          .withColumn("open", F.get("tokens", F.lit(0)).cast("double"))
           .withColumn("high", F.array_max("tokens").cast("double"))
           .withColumn("low", F.array_min("tokens").cast("double"))
-          .withColumn("close", F.element_at("tokens", -1).cast("double"))
+          .withColumn("close",
+                      F.get("tokens", F.size("tokens") - 1).cast("double"))
           .withColumn("tick_volume", F.col("n_tok").cast("long"))
           .withColumn("spread", (F.col("high") - F.col("low")) / F.lit(1e4)))
     prev_close = F.lag("close").over(w)
@@ -90,6 +93,36 @@ def _derived_bars(seqs_series: DataFrame, tf_rows: int) -> DataFrame:
     return (g.withColumn("completion_seq", F.lead("first_seq").over(w))
              .withColumn("bar_index", F.row_number().over(w) - F.lit(1))
              .filter(F.col("completion_seq").isNotNull()))
+
+
+def chunk_sequences(seqs: DataFrame, max_len: int = 128,
+                    overlap: int = 0) -> DataFrame:
+    """Context-length chunking — the complement of pack_sequences: long
+    documents split into <= max_len-token segments, consecutive segments
+    sharing `overlap` tokens (sliding training windows). Output one row per
+    chunk: (doc_id, source, chunk_idx, chunk_tokens, chunk_len), chunk_idx
+    0-based; a doc with n_tok <= max_len yields itself as chunk 0. Empty
+    docs yield no chunks.
+
+    Scale shape: a pure per-row explode + slice — no shuffle, no UDF; the
+    chunk count per row is ceil((n_tok - overlap) / stride), all JVM
+    higher-order functions."""
+    if not 0 <= overlap < max_len:
+        raise ValueError("need 0 <= overlap < max_len")
+    stride = max_len - overlap
+    n_chunks = F.greatest(F.ceil((F.col("n_tok") - F.lit(overlap))
+                          / F.lit(stride)).cast("int"), F.lit(1))
+    # guard empty docs BEFORE sequence(): sequence(0, -1) would generate a
+    # DESCENDING [0, -1], not an empty list
+    idxs = F.when(F.col("n_tok") <= 0, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(0), n_chunks - 1))
+    idx = F.explode(idxs).alias("chunk_idx")
+    out = seqs.select("doc_id", "source", "tokens", "n_tok", idx)
+    start = F.col("chunk_idx") * F.lit(stride) + 1       # slice is 1-based
+    chunk = F.slice(F.col("tokens"), start, F.lit(max_len))
+    return (out.select("doc_id", "source", "chunk_idx",
+                       chunk.alias("chunk_tokens"))
+            .withColumn("chunk_len", F.size("chunk_tokens")))
 
 
 def pack_sequences(seqs: DataFrame, seq_len: int = 1024,

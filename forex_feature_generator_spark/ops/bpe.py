@@ -247,3 +247,74 @@ def encode_py(text: str,
                 i += 1
         syms = out
     return syms
+
+
+def _learn_py(word_counts: list[tuple[list[str], int]],
+              n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE learning loop (Sennrich et al. 2016) over a (symbols,
+    count) word table: repeatedly merge the most frequent adjacent pair.
+    Deterministic tiebreak: highest count, then lexicographically smallest
+    pair. Outputs are guaranteed distinct (a merged pair's adjacency can
+    never recur — see the module docstring's validity argument), so the
+    result always passes build_vocab."""
+    merges: list[tuple[str, str]] = []
+    produced: set[str] = set()
+    words = [(list(s), c) for s, c in word_counts]
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        # drop candidates whose surface form was already produced by a
+        # different split (a+bc vs ab+c -> 'abc'): build_vocab requires
+        # distinct outputs, and one spelling of a string is enough
+        pairs = {p: c for p, c in pairs.items()
+                 if p[0] + p[1] not in produced}
+        if not pairs:
+            break
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        produced.add(a + b)
+        merges.append((a, b))
+        nxt = []
+        for syms, c in words:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        words = nxt
+    return merges
+
+
+def learn_merges(docs: DataFrame, n_merges: int,
+                 text_col: str = "text",
+                 top_words: int = 100_000) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM the corpus — the producer for
+    bpe_encode's consumer side. Distributed part: ONE corpus scan reduced
+    to a (word, count) table (explode + partial-aggregated groupBy), then a
+    distributed top-K by count (orderBy+limit = TakeOrdered, no global
+    single-partition sort). The merge loop itself runs driver-side on that
+    bounded table — the standard practical shape (Sennrich/SentencePiece
+    learn on word frequencies, not the raw corpus): the word table is
+    vocab-sized and `top_words` caps driver memory at web scale while
+    covering ~all token mass (Zipf).
+
+    Every word carries a trailing '_' marker (matching bpe_encode's
+    space -> '_' normalization) so learned merges compose word-final
+    units; merges therefore never cross word boundaries — the documented
+    approximation vs the frozen demo table's cross-word rules. Returns a
+    rank-ordered merge list valid for build_vocab / bpe_encode."""
+    words = (docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                           " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    wc = (words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+          .orderBy(F.col("cnt").desc(), F.col("w").asc())
+          .limit(top_words).collect())
+    word_counts = [(list(r["w"]) + ["_"], int(r["cnt"])) for r in wc]
+    return _learn_py(word_counts, n_merges)

@@ -29,12 +29,14 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features",
                     choices=["features", "tokens", "labels", "stream-features",
-                             "bpe"])
+                             "bpe", "bpe-learn"])
     ap.add_argument("--bpe-merges",
                     help="merges.txt (one 'left right' pair per line, rank "
                          "order) for --mode bpe; omit for the frozen demo "
                          "table. Tables past the codegen gate use the "
                          "broadcast pandas-UDF encoder automatically")
+    ap.add_argument("--n-merges", type=int, default=1000,
+                    help="--mode bpe-learn: number of merge rules to learn")
     ap.add_argument("--no-chunking", action="store_true",
                     help="disable the default halo-chunked execution (one "
                          "unbounded pandas group per source — test/debug only)")
@@ -123,6 +125,19 @@ def main() -> None:
         out = BPE.bpe_encode(ticks, merges=merges)
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
+    elif args.mode == "bpe-learn":
+        # learn a merge table from the corpus (--input documents table) and
+        # write it as merges.txt (the shape --bpe-merges reads back)
+        from forex_feature_generator_spark.ops import bpe as BPE
+        merges = BPE.learn_merges(ticks, n_merges=args.n_merges)
+        os.makedirs(args.output, exist_ok=True)
+        path = os.path.join(args.output, "merges.txt")
+        with open(path, "w") as f:
+            f.write("# learned bpe merges, rank order\n")
+            for a, b in merges:
+                f.write(f"{a} {b}\n")
+        print(json.dumps({"merges_learned": len(merges), "path": path}))
+        n = len(merges)
     elif args.mode == "labels":
         # full LabelResult surface (confidence/profits/MAE/MFE/tt/RR/quality)
         # — the reference computes these but persists only the label

@@ -171,3 +171,55 @@ def test_frozen_default_unchanged(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     row = df.collect()[0]
     assert row["n_bpe_tokens"] == len(classic_bpe(TEXTS[0]))
+
+
+# ---------------------------------------------------------------------------
+# BPE LEARNING (ops/bpe.py::learn_merges) — corpus -> merge table
+# ---------------------------------------------------------------------------
+
+def test_learn_py_hand_computed():
+    """First merges on a hand-countable word table. Corpus words (with the
+    trailing '_' marker): low*5, lower*2, newest*6, widest*3."""
+    wc = [(list("low") + ["_"], 5), (list("lower") + ["_"], 2),
+          (list("newest") + ["_"], 6), (list("widest") + ["_"], 3)]
+    merges = B._learn_py(wc, 4)
+    # pair counts round 1: (e,s)=9, (s,t)=9, (t,_)=9, (l,o)=7, (o,w)=7, ...
+    # tiebreak lexicographic -> ('e','s') first, then ('es','t')=9,
+    # ('t','_') drops to ... ('est','_')=9
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "_")
+    B.build_vocab(merges)            # validity invariant holds
+
+
+def test_learn_merges_spark_and_roundtrip(spark):
+    """Distributed word counting feeds the same learner: learned table is
+    valid, matches the pure-python learner on the same corpus, and the
+    learn -> encode round trip produces fewer tokens than characters."""
+    texts = ["the cat and the hat", "the cat sat", "a hat and a cat",
+             "the the the cat"] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    merges = B.learn_merges(docs, n_merges=12, top_words=100)
+    assert len(merges) == 12
+    vocab = B.build_vocab(merges)
+
+    # reference: count words in pure python, same learner
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        for w in B._norm_py(t).split("_"):
+            if w:
+                wc[w] += 1
+    ref = B._learn_py([(list(w) + ["_"], c) for w, c in
+                       sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))],
+                      12)
+    assert merges == ref
+
+    # round trip: encode with the learned table through BOTH paths
+    enc = {r["doc_id"]: r for r in
+           B.bpe_encode(docs, merges=merges).collect()}
+    for i, t in enumerate(texts):
+        syms = B.encode_py(t, merges)
+        assert enc[i]["token_ids"] == [vocab[s] for s in syms]
+        assert enc[i]["n_bpe_tokens"] < len(B._norm_py(t))  # compression

@@ -100,3 +100,33 @@ def test_pack_sequences_arithmetic(spark):
     # each source starts its own packing at offset 0
     assert list(out[out.source == "t"]["pack_id"]) == [0]
     assert list(out[out.source == "t"]["pack_offset"]) == [0]
+
+
+def test_chunk_sequences(spark):
+    """Chunking edge cases: short doc -> itself; exact multiple; overlap
+    windows; empty doc -> no chunks; reconstruction of the original ids."""
+    from forex_feature_generator_spark.engine.tokens import chunk_sequences
+    rows = [
+        ("a", list(range(5)), 5, "s"),      # < max_len -> 1 chunk
+        ("b", list(range(8)), 8, "s"),      # == max_len -> 1 chunk
+        ("c", list(range(20)), 20, "s"),    # multi-chunk with overlap
+        ("d", [], 0, "s"),                  # empty -> 0 chunks
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    got = {}
+    for r in chunk_sequences(df, max_len=8, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_tokens"], r["chunk_len"]))
+    for v in got.values():
+        v.sort()
+    assert got["a"] == [(0, list(range(5)), 5)]
+    assert got["b"] == [(0, list(range(8)), 8)]
+    # stride 6: starts 0, 6, 12 -> ceil((20-2)/6) = 3 chunks
+    assert got["c"] == [(0, list(range(0, 8)), 8),
+                        (1, list(range(6, 14)), 8),
+                        (2, list(range(12, 20)), 8)]
+    assert "d" not in got
+    # consecutive chunks overlap by exactly 2 and cover all ids
+    covered = sorted({t for _, toks, _ in got["c"] for t in toks})
+    assert covered == list(range(20))
