@@ -1662,6 +1662,69 @@ FROM ch
 """
 
 
+def q57_fixed_size_sample(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sampling (fixed-SIZE eval-set
+    carving, vs q31's fixed-RATE): hash-ordered top-25 per lang; the
+    per-stratum window bounds every sort task by the stratum size."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+    docs = _load(spark, sf_dir, "documents")
+    return (SMP.fixed_size_sample(docs, "lang", k=25)
+            .select("doc_id", "lang"))
+
+
+SQL_Q57 = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_sql_hash()} ASC, doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 25
+"""
+
+
+def q58_gopher_rules(spark, sf_dir):
+    """Gopher-style hard rule filter (Rae et al. 2021 heuristics): keep/drop
+    verdict + failure-reasons bitmask (word count, mean word length, symbol
+    ratio, stopword fraction, duplicate-word fraction) — the rules VERDICT
+    complementing q19's soft score. Pure projection, no shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.gopher_rules(docs, min_words=20)
+
+
+SQL_Q58 = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS words,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+  FROM documents),
+r AS (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+         (length(norm) - (len(words) - 1)) * 1.0
+           / greatest(len(words), 1) AS mean_word_len,
+         punct * 1.0 / greatest(len(words), 1) AS symbol_ratio,
+         len(list_filter(words, w -> list_contains({_STOP_EN}, w))) * 1.0
+           / greatest(len(words), 1) AS stop_frac,
+         1.0 - len(list_distinct(words)) * 1.0
+           / greatest(len(words), 1) AS dup_frac
+  FROM t)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(dup_frac, 6) AS dup_word_frac,
+       ((CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END)
+        + (CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 2 ELSE 0 END)
+        + (CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END)
+        + (CASE WHEN stop_frac < 0.02 THEN 8 ELSE 0 END)
+        + (CASE WHEN dup_frac > 0.5 THEN 16 ELSE 0 END))::INTEGER AS reasons,
+       ((CASE WHEN n_words < 20 OR n_words > 100000 THEN 1 ELSE 0 END)
+        + (CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 2 ELSE 0 END)
+        + (CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END)
+        + (CASE WHEN stop_frac < 0.02 THEN 8 ELSE 0 END)
+        + (CASE WHEN dup_frac > 0.5 THEN 16 ELSE 0 END)) = 0 AS keep
+FROM r
+"""
+
+
 def q55_incremental_dedup(spark, sf_dir):
     """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs with
     doc_id < 250 stand in for the already-ingested corpus (its hash table),
@@ -1887,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_token_sequences": q54_token_sequences,
         "q55_incremental_dedup": q55_incremental_dedup,
         "q56_chunk_sequences": q56_chunk_sequences,
+        "q57_fixed_size_sample": q57_fixed_size_sample,
+        "q58_gopher_rules": q58_gopher_rules,
     }
 
 
@@ -1948,4 +2013,6 @@ def oracle_sql() -> dict[str, str]:
         "q54_token_sequences": _sql_q54(),
         "q55_incremental_dedup": SQL_Q55,
         "q56_chunk_sequences": _sql_q56(),
+        "q57_fixed_size_sample": SQL_Q57,
+        "q58_gopher_rules": SQL_Q58,
     }

@@ -195,3 +195,22 @@ def shard_assign(df: DataFrame, n_shards: int,
                                             F.col(id_col).asc())
     return (d.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
             .drop("__h"))
+
+
+def fixed_size_sample(df: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order
+    (ties by id) — deterministic fixed-SIZE eval-set carving, vs
+    stratified_sample's fixed-RATE. Same input -> same rows, independent of
+    partitioning; growing a stratum CAN rotate members in/out (hash order
+    changes membership of the top-k) — use hash_split when per-row
+    stability under growth matters more than exact set size.
+
+    Scale shape: one window partitioned BY STRATUM (each sort task bounded
+    by the stratum size; strata are the parallelism unit) — no global
+    sort, no sampling pass + count correction."""
+    from pyspark.sql import Window
+    h = _unit_hash(id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))

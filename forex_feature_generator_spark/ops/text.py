@@ -277,3 +277,39 @@ def unigram_kl(docs: DataFrame, text_col: str = "text",
                  F.max("n_g").alias("n_words"))
             .select(F.col("grp").alias("group_key"), "kl", "vocab",
                     "n_words"))
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher-style rule FILTER (Rae et al. 2021 quality heuristics, adapted
+    to this corpus' signals): a hard keep/drop verdict with a reasons
+    bitmask, complementing q19's soft quality score. Rules (bit set = rule
+    FAILED): 1 word count outside [min_words, max_words]; 2 mean word
+    length outside [3, 10]; 4 symbol-to-word ratio > 0.1; 8 stopword
+    fraction < 0.02; 16 duplicate-word fraction > 0.5. keep = reasons == 0.
+    One pure projection — no shuffle, no UDF."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    # normalized text joins words with single spaces: sum(len) = len - (n-1)
+    mean_wlen = (F.length(norm) - (n_words - 1)) / nw
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = punct / nw
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_frac = F.size(F.filter(words, lambda w: F.array_contains(en, w))) / nw
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(words)) / nw
+    reasons = (
+        F.when((n_words < min_words) | (n_words > max_words), 1).otherwise(0)
+        + F.when((mean_wlen < 3) | (mean_wlen > 10), 2).otherwise(0)
+        + F.when(symbol_ratio > 0.1, 4).otherwise(0)
+        + F.when(stop_frac < 0.02, 8).otherwise(0)
+        + F.when(dup_frac > 0.5, 16).otherwise(0))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        reasons.cast("int").alias("reasons"),
+        (reasons == 0).alias("keep"))

@@ -556,3 +556,41 @@ def test_incremental_dedup_planted(spark):
     seen2 = seen.select("text_hash").union(
         incremental_dedup(batch, seen).select("text_hash"))
     assert incremental_dedup(batch, seen2).count() == 0
+
+
+def test_gopher_rules_planted(spark):
+    """Each rule trips on a doc built to fail exactly it."""
+    from forex_feature_generator_spark.ops.text import gopher_rules
+    # 25 distinct words, stopwords present, mean len ~5: passes every rule
+    good = " ".join(["the", "and", "for", "with", "on"]
+                    + [f"word{i}" for i in range(20)])
+    rows = [
+        (1, good),                                        # passes all
+        (2, "short text"),                                # too few words
+        (3, " ".join(["supercalifragilistic"] * 30)),     # mean len + dup + stop
+        (4, good.replace(" ", "!! ")),                    # symbol ratio
+        (5, " ".join(["word"] * 40)),                     # dup fraction + stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["reasons"], r["keep"])
+           for r in gopher_rules(df, min_words=20).collect()}
+    assert got[1] == (0, True)
+    assert got[2][0] & 1 and not got[2][1]          # word count
+    assert got[3][0] & 2 and got[3][0] & 16         # mean word len + dup
+    assert got[4][0] & 4                            # symbol ratio
+    assert got[5][0] & 16 and got[5][0] & 8         # dup + no stopwords
+
+
+def test_fixed_size_sample(spark):
+    """Exactly min(k, stratum) rows; deterministic; partitioning-blind."""
+    from forex_feature_generator_spark.ops.sampling import fixed_size_sample
+    rows = [(i, "en" if i < 60 else "de") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    a = sorted((r["lang"], r["doc_id"])
+               for r in fixed_size_sample(df, "lang", k=15).collect())
+    b = sorted((r["lang"], r["doc_id"]) for r in
+               fixed_size_sample(df.repartition(5), "lang", k=15).collect())
+    assert a == b
+    from collections import Counter
+    c = Counter(l for l, _ in a)
+    assert c == {"en": 15, "de": 10}   # de has only 10 rows -> all kept
