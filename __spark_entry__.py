@@ -1360,6 +1360,55 @@ FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
 """
 
 
+def q59_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
+    head/middle/tail buckets from the self-trained bigram LM, ntile window
+    partitioned by language — see ops/lm.py::ccnet_buckets."""
+    docs = _load(spark, sf_dir, "documents")
+    return LM.ccnet_buckets(docs)
+
+
+SQL_Q59 = """
+WITH w AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+tok AS (SELECT id, unnest(ws) AS wd FROM w),
+vocab AS (
+  SELECT wd FROM (SELECT wd, count(*) AS c FROM tok GROUP BY wd)
+  ORDER BY c DESC, wd ASC LIMIT 24),
+uni AS (
+  SELECT wm, count(*) AS cu FROM (
+    SELECT CASE WHEN v.wd IS NOT NULL THEN t.wd ELSE '<unk>' END AS wm
+    FROM tok t LEFT JOIN vocab v ON v.wd = t.wd) GROUP BY wm),
+bg0 AS (
+  SELECT id, unnest(list_transform(range(1, len(ws)),
+                                   i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+  FROM w),
+bgm AS (
+  SELECT id,
+         CASE WHEN v1.wd IS NOT NULL THEN b.w1 ELSE '<unk>' END AS w1m,
+         CASE WHEN v2.wd IS NOT NULL THEN b.w2 ELSE '<unk>' END AS w2m
+  FROM bg0 LEFT JOIN vocab v1 ON v1.wd = b.w1
+           LEFT JOIN vocab v2 ON v2.wd = b.w2),
+bi AS (SELECT w1m, w2m, count(*) AS cb FROM bgm GROUP BY w1m, w2m),
+sc AS (
+  SELECT id, ln((cb + 0.5) / (cu + 0.5 * 25)) AS logp
+  FROM bgm JOIN bi USING (w1m, w2m) JOIN uni ON uni.wm = bgm.w1m),
+agg AS (SELECT id, count(*) AS n_bigrams, exp(-avg(logp)) AS ppl
+        FROM sc GROUP BY id),
+ranked AS (
+  SELECT d.doc_id, d.lang, round(a.ppl, 6) AS perplexity,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY round(a.ppl, 6) ASC, d.doc_id ASC) AS t
+  FROM documents d JOIN agg a ON a.id = d.doc_id
+  WHERE a.n_bigrams > 0)
+SELECT doc_id, lang, perplexity,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 def q47_dup_spans(spark, sf_dir):
     """Exact duplicated-span coverage at 8-gram granularity (the suffix-
     array exact-substring-dedup approximation): per doc, the fraction of
@@ -1952,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_chunk_sequences": q56_chunk_sequences,
         "q57_fixed_size_sample": q57_fixed_size_sample,
         "q58_gopher_rules": q58_gopher_rules,
+        "q59_ccnet_buckets": q59_ccnet_buckets,
     }
 
 
@@ -2015,4 +2065,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_chunk_sequences": _sql_q56(),
         "q57_fixed_size_sample": SQL_Q57,
         "q58_gopher_rules": SQL_Q58,
+        "q59_ccnet_buckets": SQL_Q59,
     }

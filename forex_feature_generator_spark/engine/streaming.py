@@ -500,6 +500,30 @@ def streaming_exact_dedup(docs: DataFrame, ts_col: str = "ts",
             .drop("__text_hash"))
 
 
+def streaming_incremental_dedup(docs: DataFrame, seen: DataFrame,
+                                ts_col: str = "ts",
+                                watermark: str = "1 hour",
+                                text_col: str = "text") -> DataFrame:
+    """Streaming form of ops/dedup.incremental_dedup: a live crawl stream
+    deduplicated against BOTH the static seen-corpus hash table (all
+    previously-ingested content — a stream-static LEFT ANTI join, re-read
+    per micro-batch so an externally-appended seen table takes effect) and
+    itself within the watermark horizon (dropDuplicatesWithinWatermark —
+    bounded state). First arrival of fresh content survives.
+
+    Scale shape: the anti join is BY KEY on the 16-byte hash (the
+    corpus-sized seen side shuffles by hash once per batch, never
+    broadcast); in-stream state holds only hashes inside the watermark."""
+    from ..ops.dedup import normalize_text
+    keyed = docs.withColumn("__text_hash",
+                            F.md5(normalize_text(F.col(text_col))))
+    seen_keys = seen.select(F.col("text_hash").alias("__text_hash")).distinct()
+    fresh = keyed.join(seen_keys, "__text_hash", "left_anti")
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__text_hash"])
+            .drop("__text_hash"))
+
+
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
     """Gap-based session aggregation with session_window (north-rule

@@ -101,3 +101,31 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.round("ce", 6).alias("cross_entropy"),
                     F.round(F.exp("ce"), 6).alias("perplexity")))
+
+
+def ccnet_buckets(docs: DataFrame, lang_col: str = "lang",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  vocab_size: int = 24, alpha: float = 0.5) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl data"):
+    per language, scoreable docs split into equal-frequency perplexity
+    terciles — head (lowest perplexity, cleanest), middle, tail. Pipelines
+    keep head+middle or reweight by bucket. Docs with < 2 words have no
+    perplexity and are excluded (CCNet discards them too).
+
+    Scale shape: bigram_lm_scores' one-pass scoring (vocab/unigrams
+    broadcast, bigram table key-joined), then ONE ntile window partitioned
+    BY LANGUAGE — each sort task bounded by the language's doc count;
+    languages are the parallelism unit (ties broken by id for
+    oracle-exact determinism). Returns (doc_id, lang, perplexity, bucket)."""
+    from pyspark.sql import Window
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col,
+                              vocab_size=vocab_size, alpha=alpha)
+    j = (scores.filter(F.col("n_bigrams") > 0)
+         .join(docs.select(id_col, lang_col), id_col))
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.col("perplexity").asc(), F.col(id_col).asc()))
+    t = F.ntile(3).over(w)
+    bucket = (F.when(t == 1, "head").when(t == 2, "middle")
+              .otherwise("tail"))
+    return j.select(id_col, lang_col, "perplexity", bucket.alias("bucket"))

@@ -594,3 +594,31 @@ def test_fixed_size_sample(spark):
     from collections import Counter
     c = Counter(l for l, _ in a)
     assert c == {"en": 15, "de": 10}   # de has only 10 rows -> all kept
+
+
+def test_ccnet_buckets_property(spark):
+    """Per-language terciles: balanced sizes (ntile) and monotone
+    perplexity ordering head <= middle <= tail."""
+    from forex_feature_generator_spark.ops.lm import ccnet_buckets
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(12):
+        # heavier tail of rare words as i grows -> increasing perplexity mix
+        words = list(rng.choice(vocab[:6 + i * 2], size=40))
+        rows.append((i, " ".join(words), "en"))
+    for i in range(6):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((100 + i, " ".join(words), "de"))
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = ccnet_buckets(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []) \
+            .append(r["perplexity"])
+    assert {len(v) for v in by_lang["en"].values()} == {4}   # 12 -> 4/4/4
+    assert {len(v) for v in by_lang["de"].values()} == {2}   # 6 -> 2/2/2
+    for lang in by_lang:
+        b = by_lang[lang]
+        assert max(b["head"]) <= min(b["middle"]) <= max(b["middle"]) \
+            <= min(b["tail"])

@@ -283,3 +283,50 @@ def test_streaming_features_halo_trim(spark, tmp_path):
     for c in FEATURE_NAMES:
         np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy(),
                                       err_msg=c)
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Stream deduplicated against a static seen table AND itself: seen
+    content never emits, fresh content emits once (first arrival), and the
+    emitted set equals the batch incremental_dedup keepers."""
+    import pandas as pd
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_incremental_dedup)
+    from forex_feature_generator_spark.ops.dedup import (exact_dedup,
+                                                         incremental_dedup)
+    old = spark.createDataFrame(
+        [(900, "already ingested one"), (901, "already ingested two")],
+        "doc_id int, text string")
+    seen = exact_dedup(old)
+
+    rows = []
+    for i in range(30):
+        if i % 5 == 0:
+            text = "Already INGESTED one!"          # dup of seen (normalized)
+        elif i % 3 == 0:
+            text = "a fresh repeated doc"           # in-stream dup
+        else:
+            text = f"fresh unique doc {i}"
+        rows.append((i, text,
+                     pd.Timestamp("2024-01-02") + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "inc_in"
+    src.mkdir()
+    pdf.to_parquet(str(src / "p0.parquet"))
+    schema = spark.createDataFrame(pdf).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_dir = str(tmp_path / "inc_out")
+    q = (streaming_incremental_dedup(stream, seen)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert (got["text"].str.contains("INGESTED")).sum() == 0   # seen dropped
+    assert (got["text"] == "a fresh repeated doc").sum() == 1  # one survivor
+    # batch equivalence: same keeper hash set as incremental_dedup
+    batch = incremental_dedup(spark.createDataFrame(pdf[["doc_id", "text"]]),
+                              seen)
+    assert len(got) == batch.count()
