@@ -1360,6 +1360,38 @@ FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
 """
 
 
+def q60_corpus_rollup(spark, sf_dir):
+    """Corpus report card via ROLLUP(source, lang): doc counts, token mass,
+    char mass and mean doc length at every aggregation level (per
+    source x lang, per source, grand total) in ONE pass — Spark's
+    grouping-sets aggregation (partial-aggregated like any groupBy; the
+    rollup adds G+1 grouping combinations map-side, no extra scan). NULL
+    grouping markers coalesced to 'ALL' for a stable cross-engine hash."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (docs.withColumn("__tok", toks)
+            .rollup("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("n_tokens"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .select(F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+                    F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+                    "n_docs", "n_tokens", "n_chars", "avg_chars"))
+
+
+SQL_Q60 = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
 def q59_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
     head/middle/tail buckets from the self-trained bigram LM, ntile window
@@ -2002,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_fixed_size_sample": q57_fixed_size_sample,
         "q58_gopher_rules": q58_gopher_rules,
         "q59_ccnet_buckets": q59_ccnet_buckets,
+        "q60_corpus_rollup": q60_corpus_rollup,
     }
 
 
@@ -2066,4 +2099,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_fixed_size_sample": SQL_Q57,
         "q58_gopher_rules": SQL_Q58,
         "q59_ccnet_buckets": SQL_Q59,
+        "q60_corpus_rollup": SQL_Q60,
     }
