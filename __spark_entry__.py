@@ -1365,24 +1365,32 @@ def q60_corpus_rollup(spark, sf_dir):
     char mass and mean doc length at every aggregation level (per
     source x lang, per source, grand total) in ONE pass — Spark's
     grouping-sets aggregation (partial-aggregated like any groupBy; the
-    rollup adds G+1 grouping combinations map-side, no extra scan). NULL
-    grouping markers coalesced to 'ALL' for a stable cross-engine hash."""
+    rollup adds G+1 grouping combinations map-side, no extra scan).
+    Rollup levels are disambiguated by `grouping()` flags (grp_source /
+    grp_lang = 1 on the rolled-up axis) — a literal 'ALL' lang value in
+    real data can no longer collide with the total rows; the coalesced
+    'ALL' labels stay for readability only."""
     docs = _load(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (docs.withColumn("__tok", toks)
             .rollup("source", "lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
+            .agg(F.grouping("source").cast("int").alias("grp_source"),
+                 F.grouping("lang").cast("int").alias("grp_lang"),
+                 F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__tok").cast("long").alias("n_tokens"),
                  F.sum("n_chars").cast("long").alias("n_chars"),
                  F.round(F.avg("n_chars"), 6).alias("avg_chars"))
             .select(F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
                     F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+                    "grp_source", "grp_lang",
                     "n_docs", "n_tokens", "n_chars", "avg_chars"))
 
 
 SQL_Q60 = """
 SELECT coalesce(source, 'ALL') AS source,
        coalesce(lang, 'ALL') AS lang,
+       grouping(source)::INT AS grp_source,
+       grouping(lang)::INT AS grp_lang,
        count(*) AS n_docs,
        sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens,
        sum(n_chars)::BIGINT AS n_chars,

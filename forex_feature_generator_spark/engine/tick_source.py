@@ -44,9 +44,9 @@ def _blank(df: DataFrame):
 
 
 def load_ticks_csv(spark: SparkSession, path: str,
-                   source_name: str = "default") -> DataFrame:
-    """(source, ts, bid, ask, seq) with reference drop semantics; lazy —
-    no job runs here.
+                   source_name: str = "default",
+                   seq_mode: str = "window") -> DataFrame:
+    """(source, ts, bid, ask, seq) with reference drop semantics.
 
     `seq` is the FILE/ARRIVAL order as a DENSE 0-based per-source position:
     monotonically_increasing_id gives the arrival ORDER (split index in the
@@ -55,21 +55,54 @@ def load_ticks_csv(spark: SparkSession, path: str,
     raw values have ~2^33 gaps between splits whenever Spark reads the input
     as more than one partition (file > maxPartitionBytes, or a multi-file
     directory). The label kernel indexes tick arrays POSITIONALLY by seq
-    (labels.py), so we densify with row_number over that arrival order,
-    matching the reference's sequential read (TickLoader.cs:30-69). The
-    window is one shuffle per source — the same shuffle with_seq would do,
-    so downstream (which skips with_seq when seq exists) costs the same.
-    It also feeds the ordering-violation check in validate_ticks and the bar
-    aggregation's arrival-order semantics without a ts sort."""
-    from pyspark.sql import Window
+    (labels.py), so we densify to match the reference's sequential read
+    (TickLoader.cs:30-69); seq also feeds validate_ticks' ordering check
+    and the bar aggregation's arrival-order semantics without a ts sort.
+
+    TWO densify modes (round-4 review):
+
+    * "window" (default; LAZY — no job runs here): row_number over the
+      arrival order. `source` is a single literal per load, so the window
+      is ONE partition = ONE sort task — the whole file funnels through it.
+      Fine for the reference's per-pair files (tens of MB); the documented
+      WRONG choice for a multi-GB single-source file.
+    * "split-offsets" (scale path; runs ONE eager job): per-split row
+      counts -> gap-free cumulative offsets (bounded collect, one row per
+      input split) -> seq = offset[split] + in-split position, map-side,
+      NO shuffle and NO sort anywhere. Identical seq values (tests assert
+      window ≡ split-offsets on a multi-split read); costs one extra scan
+      of the file, which is parallel — unlike the single-task sort."""
     raw = _raw(spark, path)
-    w = Window.partitionBy("source").orderBy("__arrival")
-    return (raw.filter(_ok(raw) & ~_blank(raw))
+    good = (raw.filter(_ok(raw) & ~_blank(raw))
             .drop("_corrupt")
             .withColumn("source", F.lit(source_name))
-            .withColumn("__arrival", F.monotonically_increasing_id())
-            .withColumn("seq", F.row_number().over(w) - F.lit(1))
-            .drop("__arrival"))
+            .withColumn("__arrival", F.monotonically_increasing_id()))
+    if seq_mode == "window":
+        from pyspark.sql import Window
+        w = Window.partitionBy("source").orderBy("__arrival")
+        return (good.withColumn("seq", F.row_number().over(w) - F.lit(1))
+                .drop("__arrival"))
+    if seq_mode != "split-offsets":
+        raise ValueError(f"seq_mode must be 'window' or 'split-offsets', "
+                         f"got {seq_mode!r}")
+    # monotonically_increasing_id = (split << 33) | in-split offset, with
+    # the offset DENSE per split because the id is assigned AFTER the
+    # malformed-row filter. One count-by-split job (S rows, S = number of
+    # input splits), then offsets rejoin via broadcast.
+    split = F.shiftrightunsigned(F.col("__arrival"), 33)
+    local = F.col("__arrival").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (good.groupBy(split.alias("__split"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .orderBy("__split").collect())
+    off, offsets = 0, []
+    for r in counts:
+        offsets.append((r["__split"], off))
+        off += r["__n"]
+    off_df = spark.createDataFrame(offsets, "__split long, __off long")
+    return (good.withColumn("__split", split)
+            .join(F.broadcast(off_df), "__split")
+            .withColumn("seq", (F.col("__off") + local).cast("int"))
+            .drop("__arrival", "__split", "__off"))
 
 
 def validate_ticks(ticks: DataFrame) -> dict:

@@ -224,6 +224,11 @@ def bpe_encode(docs: DataFrame, text_col: str = "text",
         merges, vocab = MERGES, VOCAB
     else:
         vocab = build_vocab(merges)
+    # NULL text behaves like '' on BOTH paths -> (0, []). Without this the
+    # codegen path propagated NULL through the replace chain (size(NULL) =
+    # -1 non-ANSI, NULL ids) while the UDF path mapped None -> '' -> (0, []),
+    # so crossing the size gate silently changed NULL-row semantics.
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     if len(merges) <= codegen_max_merges:
         return _bpe_encode_codegen(docs, text_col, id_col, merges, vocab)
     return _bpe_encode_udf(docs, text_col, id_col, merges, vocab)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # 2^31-1 (Mersenne prime). The affine family (a*h + b) mod p must WRAP many
 # times to approximate a random permutation — with a large p (e.g. 2^61-1)
@@ -235,9 +236,19 @@ def dedup_keep_best(docs: DataFrame, clusters: DataFrame,
     CLUSTERED doc — typically a small fraction of the corpus) and one
     partial-aggregated groupBy(comp) with an argmax via min_by on a
     (-score, id) struct — id is never negated, so string doc ids work;
-    no per-component sort, no window."""
-    lab = docs.select(F.col(id_col).alias("id"),
-                      F.col(score_col).cast("long").alias("score"))
+    no per-component sort, no window.
+
+    `score_col` must be numeric and keeps its own dtype (long n_chars stays
+    long, a double quality score stays double) — an earlier long cast here
+    truncated fractional scores so 0.73 vs 0.68 tied at 0 and the id
+    tiebreak picked the wrong keeper (round-4 review)."""
+    score = F.col(score_col)
+    if not isinstance(docs.schema[score_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                       T.DoubleType, T.FloatType, T.DecimalType)):
+        raise TypeError(f"dedup_keep_best: score_col {score_col!r} must be "
+                        f"numeric, got {docs.schema[score_col].dataType}")
+    lab = docs.select(F.col(id_col).alias("id"), score.alias("score"))
     j = (lab.join(clusters, "id", "left")
          .withColumn("comp", F.coalesce(F.col("comp"), F.col("id"))))
     return (j.groupBy("comp")

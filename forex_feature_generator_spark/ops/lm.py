@@ -105,27 +105,64 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
 
 def ccnet_buckets(docs: DataFrame, lang_col: str = "lang",
                   text_col: str = "text", id_col: str = "doc_id",
-                  vocab_size: int = 24, alpha: float = 0.5) -> DataFrame:
+                  vocab_size: int = 24, alpha: float = 0.5,
+                  use_cutpoints: bool | None = None,
+                  n_rows: int | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting high quality monolingual datasets from web crawl data"):
     per language, scoreable docs split into equal-frequency perplexity
     terciles — head (lowest perplexity, cleanest), middle, tail. Pipelines
     keep head+middle or reweight by bucket. Docs with < 2 words have no
     perplexity and are excluded (CCNet discards them too).
+    Returns (doc_id, lang, perplexity, bucket).
 
-    Scale shape: bigram_lm_scores' one-pass scoring (vocab/unigrams
-    broadcast, bigram table key-joined), then ONE ntile window partitioned
-    BY LANGUAGE — each sort task bounded by the language's doc count;
-    languages are the parallelism unit (ties broken by id for
-    oracle-exact determinism). Returns (doc_id, lang, perplexity, bucket)."""
+    TWO bucketing paths behind the engine's standard size gate (round-4
+    review: the per-language ntile sort was the one skew-exposed window in
+    the corpus ops — a real crawl is ~45% English, so one sort task took
+    ~half the corpus):
+
+    * small (<= EXACT_QUANTILE_MAX_ROWS): exact equal-frequency ntile(3)
+      per language, id-asc tiebreak — deterministic, oracle-exact.
+    * large: per-language tercile CUTPOINTS via the shared
+      gated_quantile_agg (one partial-aggregated groupBy(lang) — no
+      per-language sort anywhere in the plan), broadcast as a G x 2 table
+      into a `when` chain. Equal-frequency up to quantile-sketch error and
+      boundary ties; identical to ntile when per-language counts are
+      divisible by 3 and perplexities are distinct (tests assert this).
+      This path scores twice (cutpoint pass + bucketing pass) — the same
+      stats-then-apply shape as engine.normalize.
+
+    Gate inputs: pass `n_rows` (corpus row count) if known, else one cheap
+    docs.count() (parquet metadata) decides; `use_cutpoints` overrides."""
     from pyspark.sql import Window
+
+    from ..engine.normalize import EXACT_QUANTILE_MAX_ROWS, gated_quantile_agg
+
     scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col,
                               vocab_size=vocab_size, alpha=alpha)
     j = (scores.filter(F.col("n_bigrams") > 0)
          .join(docs.select(id_col, lang_col), id_col))
-    w = (Window.partitionBy(lang_col)
-         .orderBy(F.col("perplexity").asc(), F.col(id_col).asc()))
-    t = F.ntile(3).over(w)
-    bucket = (F.when(t == 1, "head").when(t == 2, "middle")
+    if use_cutpoints is None:
+        if n_rows is None:
+            n_rows = docs.count()
+        use_cutpoints = n_rows > EXACT_QUANTILE_MAX_ROWS
+    if not use_cutpoints:
+        w = (Window.partitionBy(lang_col)
+             .orderBy(F.col("perplexity").asc(), F.col(id_col).asc()))
+        t = F.ntile(3).over(w)
+        bucket = (F.when(t == 1, "head").when(t == 2, "middle")
+                  .otherwise("tail"))
+        return j.select(id_col, lang_col, "perplexity",
+                        bucket.alias("bucket"))
+    cuts = (j.groupBy(lang_col)
+            .agg(gated_quantile_agg(F.col("perplexity"),
+                                    [1.0 / 3.0, 2.0 / 3.0],
+                                    n_rows if n_rows is not None else 0)
+                 .alias("__q")))
+    cuts = cuts.select(lang_col, F.col("__q")[0].alias("__c1"),
+                       F.col("__q")[1].alias("__c2"))
+    bucket = (F.when(F.col("perplexity") <= F.col("__c1"), "head")
+              .when(F.col("perplexity") <= F.col("__c2"), "middle")
               .otherwise("tail"))
-    return j.select(id_col, lang_col, "perplexity", bucket.alias("bucket"))
+    return (j.join(F.broadcast(cuts), lang_col)
+            .select(id_col, lang_col, "perplexity", bucket.alias("bucket")))

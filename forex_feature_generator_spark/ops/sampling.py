@@ -145,21 +145,49 @@ def mixture_weights(df: DataFrame, group_cols: list[str],
     groupBy to a G-row table; corpus totals come from a 1-row aggregate
     broadcast-crossJoined back — the corpus itself is scanned once and never
     re-shuffled; a non-uniform target adds only a broadcast join against the
-    G-row targets table."""
-    g = df.groupBy(*group_cols).agg(
+    G-row targets table.
+
+    Validation (round-4 review): target_shares must sum to ~1 (raises), and
+    target keys matching no observed group warn — a typo'd key was silently
+    dropped by the left join, zeroing that group while the remaining
+    applied targets no longer summed to 1. The absent-key probe runs one
+    eager job, so the G-row grouped table is persisted first: the corpus is
+    STILL scanned exactly once (the probe materializes the cache the
+    returned plan reuses)."""
+    g0 = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).cast("long").alias("n_tokens"))
-    tot = g.agg(F.sum("n_tokens").alias("__tot"),
-                F.count(F.lit(1)).alias("__G"))
+    if target_shares is not None:
+        g0 = g0.persist()
+    tot = g0.agg(F.sum("n_tokens").alias("__tot"),
+                 F.count(F.lit(1)).alias("__G"))
     share = F.col("n_tokens") / F.col("__tot")
-    g = g.crossJoin(F.broadcast(tot))
+    g = g0.crossJoin(F.broadcast(tot))
     if target_shares is None:
         target = F.lit(1.0) / F.col("__G")
     else:
+        tot_share = sum(float(v) for v in target_shares.values())
+        if abs(tot_share - 1.0) > 1e-6:
+            raise ValueError(
+                f"mixture_weights: target_shares must sum to 1 "
+                f"(got {tot_share:.6f}) — un-normalized targets silently "
+                f"skew every weight")
         spark = df.sparkSession
         rows = [tuple(k) + (float(v),) if isinstance(k, (tuple, list))
                 else (k, float(v)) for k, v in target_shares.items()]
         tgt = spark.createDataFrame(rows, group_cols + ["__target"])
+        # Absent-key probe against the persisted G-row table (bounded
+        # collect: at most len(target_shares) rows).
+        missing = (tgt.join(g0.select(*group_cols),
+                            on=group_cols, how="left_anti")
+                   .collect())
+        if missing:
+            import warnings
+            warnings.warn(
+                "mixture_weights: target keys absent from observed groups "
+                f"(applied targets no longer sum to 1): "
+                f"{[tuple(r[c] for c in group_cols) for r in missing]}",
+                stacklevel=2)
         g = g.join(F.broadcast(tgt), on=group_cols, how="left")
         target = F.coalesce(F.col("__target"), F.lit(0.0))
     return (g.select(*group_cols, "n_docs", "n_tokens",

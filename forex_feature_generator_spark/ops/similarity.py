@@ -226,10 +226,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     F.round("cosine", 6).alias("cosine")))
 
 
+# SemDeDup auto-sizing: mean cell size the auto rule targets, and the
+# expected-candidate-pair bound past which an explicit n_cells warns.
+SEMDEDUP_TARGET_CELL_SIZE = 4096
+SEMDEDUP_MAX_EXPECTED_PAIRS = 1e12
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
-                   n_cells: int = 16,
+                   n_cells: int | None = None,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   target_cell_size: int = SEMDEDUP_TARGET_CELL_SIZE,
+                   n_rows: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication"):
     cluster the embedding space, then mark within-cluster semantic
@@ -248,7 +256,32 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
     check is an equi-self-join ON CELL, so candidate work is sum(|cell|^2)
     not |corpus|^2 — exactly the trade SemDeDup's clustering buys. Cosine
     compared on round(·, 6) so the Spark and oracle float paths bin
-    boundary pairs identically."""
+    boundary pairs identically.
+
+    CELL SIZING (round-4 review — a fixed cell count is quadratic death at
+    scale: expected candidate pairs ~ N^2 / n_cells, so n_cells must GROW
+    with the corpus). n_cells=None (the default) auto-sizes to
+    ceil(N / target_cell_size): expected pair work ~ N * target_cell_size
+    (linear in the corpus) at the cost of one N-row count job (parquet
+    metadata-cheap; pass `n_rows` to skip it). The recall/cost trade is
+    `target_cell_size`: bigger cells = more candidate pairs checked = higher
+    recall across cell boundaries but more cosine work; SemDeDup's paper
+    regime is 10k-100k docs/cluster at web scale — 4096 is the conservative
+    default. An EXPLICIT n_cells is honored but warns when the implied
+    expected pair count N^2 / n_cells crosses SEMDEDUP_MAX_EXPECTED_PAIRS."""
+    if n_rows is None:
+        n_rows = corpus.count()
+    if n_cells is None:
+        n_cells = max(1, -(-n_rows // max(1, target_cell_size)))
+    elif n_rows and (n_rows / n_cells) * n_rows > SEMDEDUP_MAX_EXPECTED_PAIRS:
+        import warnings
+        warnings.warn(
+            f"semantic_dedup: n_cells={n_cells} over a {n_rows}-row corpus "
+            f"implies ~{(n_rows / n_cells) * n_rows:.2e} expected candidate "
+            f"pairs (> {SEMDEDUP_MAX_EXPECTED_PAIRS:.0e}); raise n_cells "
+            f"(auto rule: ceil(N/target_cell_size) = "
+            f"{-(-n_rows // max(1, target_cell_size))}) or pass "
+            f"n_cells=None to auto-size", stacklevel=2)
     cents = hash_centroids(corpus, n_cells, id_col, vec_col)
     scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
               .crossJoin(F.broadcast(cents))

@@ -5,6 +5,7 @@ malformed drop + count)."""
 from datetime import datetime
 
 import pandas as pd
+import pytest
 
 from forex_feature_generator_spark.engine import tick_source
 
@@ -196,3 +197,36 @@ def test_csv_source_feeds_pipeline(spark, tmp_path):
     assert len(a) == len(b) > 10
     assert (a["close"].to_numpy() == b["close"].to_numpy()).all()
     assert (a["up"].to_numpy() == b["up"].to_numpy()).all()
+
+
+def test_split_offsets_seq_matches_window(spark, tmp_path):
+    """seq_mode='split-offsets' (the scale path: per-split counts + map-side
+    offsets, NO sort) must produce exactly the window path's dense seq on a
+    read Spark splits into many input partitions."""
+    from forex_feature_generator_spark import synth
+    ticks = synth.gen_ticks(n_sources=1, ticks_per_source=2500,
+                            hot_sources=0, seed=11, mean_gap_s=6.0)
+    path = str(tmp_path / "so.csv")
+    with open(path, "w") as f:
+        f.write("Timestamp,Bid,Ask\n")
+        for i, r in enumerate(ticks[["ts", "bid", "ask"]]
+                              .itertuples(index=False)):
+            if i == 1200:
+                f.write("malformed,row,here,extra\n")   # dropped on both paths
+            f.write(f"{r.ts},{r.bid!r},{r.ask!r}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        assert tick_source._raw(spark, path).rdd.getNumPartitions() > 1
+        win = tick_source.load_ticks_csv(spark, path, seq_mode="window")
+        so = tick_source.load_ticks_csv(spark, path, seq_mode="split-offsets")
+        a = win.orderBy("seq").toPandas()
+        b = so.orderBy("seq").toPandas()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert list(a["seq"]) == list(range(len(ticks)))
+    assert list(b["seq"]) == list(range(len(ticks)))
+    assert (a["ts"].to_numpy() == b["ts"].to_numpy()).all()
+    assert (a["bid"].to_numpy() == b["bid"].to_numpy()).all()
+    with pytest.raises(ValueError):
+        tick_source.load_ticks_csv(spark, path, seq_mode="bogus")

@@ -622,3 +622,126 @@ def test_ccnet_buckets_property(spark):
         b = by_lang[lang]
         assert max(b["head"]) <= min(b["middle"]) <= max(b["middle"]) \
             <= min(b["tail"])
+
+
+def test_dedup_keep_best_float_score(spark):
+    """Round-4 review fix: a double score column must keep its fractional
+    part — the old long cast tied 0.73 vs 0.68 at 0 and the id tiebreak
+    silently picked the wrong (lower-id) keeper."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "quality": [0.68, 0.73, 0.50]}))
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "comp": [1, 1, 1]}))
+    got = D.dedup_keep_best(docs, clusters, score_col="quality").collect()
+    assert len(got) == 1
+    assert got[0]["keeper_id"] == 2           # 0.73 beats 0.68
+    assert abs(got[0]["best_score"] - 0.73) < 1e-12
+    with pytest.raises(TypeError):
+        D.dedup_keep_best(
+            docs.withColumn("quality", F.col("quality").cast("string")),
+            clusters, score_col="quality")
+
+
+def test_semantic_dedup_autosize(spark):
+    """The auto rule n_cells = ceil(N / target_cell_size) grows the cell
+    count with the corpus (two corpus sizes -> different implied n_cells),
+    and an explicit n_cells past the expected-pair bound warns."""
+    import warnings as W
+
+    from forex_feature_generator_spark.ops import similarity as S
+
+    def emb(n):
+        rng = np.random.default_rng(3)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=4)]) for i in range(n)],
+            "vec_id int, embedding array<float>")
+
+    # implied n_cells: ceil(30/8)=4 vs ceil(120/8)=15 -> distinct cell ids
+    small = S.semantic_dedup(emb(30), threshold=0.999, target_cell_size=8)
+    big = S.semantic_dedup(emb(120), threshold=0.999, target_cell_size=8)
+    n_small = small.select("cell").distinct().count()
+    n_big = big.select("cell").distinct().count()
+    assert n_small <= 4 and n_big <= 15 and n_big > n_small
+    assert small.count() == 30 and big.count() == 120
+
+    # explicit n_cells that implies too many pairs warns (bound patched low)
+    old = S.SEMDEDUP_MAX_EXPECTED_PAIRS
+    S.SEMDEDUP_MAX_EXPECTED_PAIRS = 10.0
+    try:
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            S.semantic_dedup(emb(30), threshold=0.999, n_cells=2).count()
+        assert any("expected candidate pairs" in str(w.message) for w in rec)
+    finally:
+        S.SEMDEDUP_MAX_EXPECTED_PAIRS = old
+
+
+def test_ccnet_cutpoint_path_agrees(spark):
+    """The de-skewed cutpoint path (no per-language sort) must agree with
+    the exact ntile path when per-language counts divide by 3 and
+    perplexities are distinct — the regime the size gate hands over in."""
+    from forex_feature_generator_spark.ops.lm import ccnet_buckets
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(12):
+        words = list(rng.choice(vocab[:6 + i * 2], size=40))
+        rows.append((i, " ".join(words), "en"))
+    for i in range(6):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((100 + i, " ".join(words), "de"))
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    exact = {(r["doc_id"]): (r["lang"], r["perplexity"], r["bucket"])
+             for r in ccnet_buckets(df, use_cutpoints=False).collect()}
+    cut = {(r["doc_id"]): (r["lang"], r["perplexity"], r["bucket"])
+           for r in ccnet_buckets(df, use_cutpoints=True).collect()}
+    # fixture sanity: distinct perplexities per language
+    for lang in ("en", "de"):
+        ppls = [v[1] for v in exact.values() if v[0] == lang]
+        assert len(set(ppls)) == len(ppls)
+    assert exact == cut
+    # the large path's plan must not contain a per-language sort (ntile
+    # window); its only window-free bucketing is a broadcast join + CASE
+    import re
+    plan = ccnet_buckets(df, use_cutpoints=True)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert not re.search(r"\bntile\(", plan)   # \b: don't match percentile(
+
+
+def test_mixture_weights_validation(spark):
+    """target_shares must sum to ~1 (raises) and absent keys warn."""
+    import warnings as W
+
+    from forex_feature_generator_spark.ops.sampling import mixture_weights
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": ["a"] * 3 + ["b"] * 2,
+                      "n_tokens": [10, 20, 30, 5, 5]}))
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_weights(df, ["source"],
+                        target_shares={("a",): 0.5, ("b",): 0.2})
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = {r["source"]: r for r in
+               mixture_weights(df, ["source"],
+                               target_shares={("a",): 0.5, ("typo",): 0.5})
+               .collect()}
+    assert any("absent from observed groups" in str(w.message) for w in rec)
+    assert out["b"]["weight"] == 0.0          # no target -> dropped
+    assert out["a"]["weight"] > 0
+
+
+def test_bpe_null_text_both_paths(spark):
+    """NULL text encodes as (0, []) on BOTH the codegen and the UDF path —
+    crossing the size gate must not change NULL-row semantics (round-4
+    review: codegen propagated NULL -> size(NULL) = -1)."""
+    from forex_feature_generator_spark.ops.bpe import MERGES, bpe_encode
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, None), (3, "")],
+        "doc_id int, text string")
+    for gate in (len(MERGES), 0):        # codegen path, then UDF path
+        got = {r["doc_id"]: (r["n_bpe_tokens"], r["token_ids"]) for r in
+               bpe_encode(df, codegen_max_merges=gate).collect()}
+        assert got[2] == (0, []), f"gate={gate}"
+        assert got[3] == (0, []), f"gate={gate}"
+        assert got[1][0] > 0
