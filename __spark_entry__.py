@@ -1981,50 +1981,218 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Consolidated driver entries (round 5).
+#
+# The per-round driver records correctness rows for AT MOST 50 queries()
+# entries (evidence: round 3 registered 50 and got 50 rows; round 4
+# registered 60 and CORRECTNESS_r04.json contains exactly the first 50 in
+# insertion order). Registering more silently ships operators with no
+# driver-level correctness evidence, so related operators are consolidated
+# into single entries below — every underlying operator still runs and is
+# still hash-gated (unions carry a `method`/`mode` discriminator; joins key
+# on the natural PK), and the standalone per-operator functions above remain
+# the implementations (and stay covered by tests/).
+# ---------------------------------------------------------------------------
+
+
+def q06_fill(spark, sf_dir):
+    """Forward + backward fill of the same sparse column in one entry
+    (q06_backfill ⊕ q36_backward_fill, joined on the event PK)."""
+    f = q06_backfill(spark, sf_dir)
+    b = q36_backward_fill(spark, sf_dir).select("event_id", "bfilled")
+    return f.join(b, "event_id").select("event_id", "user_id",
+                                        "filled", "bfilled")
+
+
+def _sql_q06_fill() -> str:
+    return f"""
+SELECT f.event_id, f.user_id, f.filled, b.bfilled
+FROM ({SQL_Q06}) f JOIN ({SQL_Q36}) b ON f.event_id = b.event_id
+"""
+
+
+def q07_asof_modes(spark, sf_dir):
+    """Backward as-of join in BOTH modes (<= and strict <) as one entry
+    (q07_asof_join ⊕ q35_asof_strict, union + mode discriminator)."""
+    back = q07_asof_join(spark, sf_dir).withColumn("mode", F.lit("backward"))
+    strict = q35_asof_strict(spark, sf_dir).withColumn("mode", F.lit("strict"))
+    return back.unionByName(strict)
+
+
+def _sql_q07_modes() -> str:
+    return f"""
+SELECT 'backward' AS mode, * FROM ({SQL_Q07})
+UNION ALL
+SELECT 'strict' AS mode, * FROM ({SQL_Q35})
+"""
+
+
+def q10_norm_binning(spark, sf_dir):
+    """Lineitem normalization suite: broadcast z-score (q10) ⊕ min-max
+    (q25) ⊕ decile binning (q42), joined on the lineitem PK."""
+    keys = ["l_orderkey", "l_linenumber"]
+    z = q10_broadcast_norm(spark, sf_dir)
+    mm = q25_minmax_norm(spark, sf_dir).select(*keys, "mm_price")
+    qb = q42_quantile_binning(spark, sf_dir).select(*keys, "price_decile")
+    return z.join(mm, keys).join(qb, keys)
+
+
+def _sql_q10_norm() -> str:
+    return f"""
+SELECT z.l_orderkey, z.l_linenumber, z.z_price, z.z_qty,
+       m.mm_price, q.price_decile
+FROM ({SQL_Q10}) z
+JOIN ({SQL_Q25}) m ON m.l_orderkey = z.l_orderkey
+                  AND m.l_linenumber = z.l_linenumber
+JOIN ({SQL_Q42}) q ON q.l_orderkey = z.l_orderkey
+                  AND q.l_linenumber = z.l_linenumber
+"""
+
+
+def q15_pair_similarity(spark, sf_dir):
+    """Every pairwise near-dup candidate generator as one entry: exact
+    n-gram Jaccard (q15) ⊕ MinHash estimate (q16) ⊕ SimHash hamming (q17)
+    ⊕ embedding cosine (q28); union + method discriminator, scores unified
+    to double."""
+    def tag(df, method, score_col):
+        return df.select(F.lit(method).alias("method"),
+                         "id_a", "id_b",
+                         F.col(score_col).cast("double").alias("score"))
+    return (tag(q15_ngram_jaccard(spark, sf_dir), "jaccard", "jaccard")
+            .unionByName(tag(q16_minhash(spark, sf_dir), "minhash",
+                             "est_jaccard"))
+            .unionByName(tag(q17_simhash(spark, sf_dir), "simhash",
+                             "hamming"))
+            .unionByName(tag(q28_embedding_dedup(spark, sf_dir), "embedding",
+                             "cosine")))
+
+
+def _sql_q15_pairs() -> str:
+    return f"""
+SELECT 'jaccard' AS method, id_a, id_b, jaccard::DOUBLE AS score
+FROM ({SQL_Q15})
+UNION ALL
+SELECT 'minhash' AS method, id_a, id_b, est_jaccard::DOUBLE AS score
+FROM ({_sql_q16()})
+UNION ALL
+SELECT 'simhash' AS method, id_a, id_b, hamming::DOUBLE AS score
+FROM ({_sql_q17()})
+UNION ALL
+SELECT 'embedding' AS method, id_a, id_b, cosine::DOUBLE AS score
+FROM ({_sql_q28()})
+"""
+
+
+def q18_ann_methods(spark, sf_dir):
+    """ANN top-k: exact brute-force baseline (q18) ⊕ LSH (q29) ⊕ IVF (q37)
+    as one entry; union + method discriminator."""
+    def tag(df, method):
+        return df.select(F.lit(method).alias("method"), "query_id",
+                         "neighbor_id", "rank", "cosine")
+    return (tag(q18_ann_cosine(spark, sf_dir), "brute")
+            .unionByName(tag(q29_ann_lsh(spark, sf_dir), "lsh"))
+            .unionByName(tag(q37_ann_ivf(spark, sf_dir), "ivf")))
+
+
+def _sql_q18_ann() -> str:
+    return f"""
+SELECT 'brute' AS method, * FROM ({SQL_Q18})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_sql_q29()})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({SQL_Q37})
+"""
+
+
+def q21_doc_signals(spark, sf_dir):
+    """Per-doc identity/PII signals: md5 + rolling fingerprints (q21) ⊕
+    PII scrub counts (q32), joined on doc_id."""
+    fp = q21_fingerprint(spark, sf_dir)
+    pii = q32_pii_scrub(spark, sf_dir)
+    return fp.join(pii, "doc_id")
+
+
+def _sql_q21_signals() -> str:
+    return f"""
+SELECT a.doc_id, a.md5_fingerprint, a.rolling_fingerprint,
+       b.n_emails, b.n_urls, b.clean_md5
+FROM ({SQL_Q21}) a JOIN ({SQL_Q32}) b ON b.doc_id = a.doc_id
+"""
+
+
+def q22_multimodal(spark, sf_dir):
+    """Multimodal metadata scan (q22) ⊕ stub-decode probe (q23) joined on
+    asset_id (q40's resize pipeline stays its own entry)."""
+    meta = q22_multimodal_meta(spark, sf_dir).select("asset_id", "sha")
+    dec = q23_multimodal_decode(spark, sf_dir)
+    return (dec.join(meta, "asset_id")
+            .select("asset_id", "modality", "n_bytes", "sha", "sha256",
+                    "width", "height"))
+
+
+def _sql_q22_multimodal() -> str:
+    return f"""
+SELECT d.asset_id, d.modality, d.n_bytes, m.sha, d.sha256, d.width, d.height
+FROM ({_sql_q23()}) d JOIN ({SQL_Q22}) m ON m.asset_id = d.asset_id
+"""
+
+
+def q31_samplers(spark, sf_dir):
+    """Per-stratum samplers: proportional stratified (q31) ⊕ exactly-k per
+    stratum (q57); union + method discriminator."""
+    def tag(df, method):
+        return df.select(F.lit(method).alias("method"), "doc_id", "lang")
+    return (tag(q31_stratified_sample(spark, sf_dir), "stratified")
+            .unionByName(tag(q57_fixed_size_sample(spark, sf_dir),
+                             "fixed_k")))
+
+
+def _sql_q31_samplers() -> str:
+    return f"""
+SELECT 'stratified' AS method, doc_id, lang FROM ({SQL_Q31})
+UNION ALL
+SELECT 'fixed_k' AS method, doc_id, lang FROM ({SQL_Q57})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # <= 50 entries by design: the driver records correctness rows for at
+    # most 50 (see the consolidation note above) — related operators are
+    # folded into single discriminated entries so EVERY operator lands a
+    # driver-oracle row each round.
     return {
         "q01_tumbling_ohlc": q01_tumbling_ohlc,
         "q02_data_quality": q02_data_quality,
         "q03_lag_lead": q03_lag_lead,
         "q04_rolling": q04_rolling,
         "q05_sessionize": q05_sessionize,
-        "q06_backfill": q06_backfill,
-        "q07_asof_join": q07_asof_join,
+        "q06_fill": q06_fill,
+        "q07_asof_modes": q07_asof_modes,
         "q08_warmup_filter": q08_warmup_filter,
         "q09_topk": q09_topk,
-        "q10_broadcast_norm": q10_broadcast_norm,
+        "q10_norm_binning": q10_norm_binning,
         "q11_forward_window": q11_forward_window,
         "q12_tpch_q1": q12_tpch_q1,
         "q13_feature_stats": q13_feature_stats,
         "q14_dedup_exact": q14_dedup_exact,
-        "q15_ngram_jaccard": q15_ngram_jaccard,
-        "q16_minhash": q16_minhash,
-        "q17_simhash": q17_simhash,
-        "q18_ann_cosine": q18_ann_cosine,
+        "q15_pair_similarity": q15_pair_similarity,
+        "q18_ann_methods": q18_ann_methods,
         "q19_text_quality": q19_text_quality,
         "q20_langid": q20_langid,
-        "q21_fingerprint": q21_fingerprint,
-        "q22_multimodal_meta": q22_multimodal_meta,
-        "q23_multimodal_decode": q23_multimodal_decode,
+        "q21_doc_signals": q21_doc_signals,
+        "q22_multimodal": q22_multimodal,
         "q24_decayed_mean": q24_decayed_mean,
-        "q25_minmax_norm": q25_minmax_norm,
         "q26_embedding_stats": q26_embedding_stats,
         "q27_join_agg": q27_join_agg,
-        "q28_embedding_dedup": q28_embedding_dedup,
-        "q29_ann_lsh": q29_ann_lsh,
         "q30_hash_split": q30_hash_split,
-        "q31_stratified_sample": q31_stratified_sample,
-        "q32_pii_scrub": q32_pii_scrub,
+        "q31_samplers": q31_samplers,
         "q33_top_ngrams": q33_top_ngrams,
         "q34_pack_sequences": q34_pack_sequences,
-        "q35_asof_strict": q35_asof_strict,
-        "q36_backward_fill": q36_backward_fill,
-        "q37_ann_ivf": q37_ann_ivf,
         "q38_dedup_clusters": q38_dedup_clusters,
         "q39_repetition": q39_repetition,
         "q40_multimodal_resize": q40_multimodal_resize,
         "q41_session_window": q41_session_window,
-        "q42_quantile_binning": q42_quantile_binning,
         "q43_bpe_encode": q43_bpe_encode,
         "q44_dedup_keep_best": q44_dedup_keep_best,
         "q45_decontaminate": q45_decontaminate,
@@ -2039,7 +2207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_token_sequences": q54_token_sequences,
         "q55_incremental_dedup": q55_incremental_dedup,
         "q56_chunk_sequences": q56_chunk_sequences,
-        "q57_fixed_size_sample": q57_fixed_size_sample,
         "q58_gopher_rules": q58_gopher_rules,
         "q59_ccnet_buckets": q59_ccnet_buckets,
         "q60_corpus_rollup": q60_corpus_rollup,
@@ -2053,43 +2220,32 @@ def oracle_sql() -> dict[str, str]:
         "q03_lag_lead": SQL_Q03,
         "q04_rolling": SQL_Q04,
         "q05_sessionize": SQL_Q05,
-        "q06_backfill": SQL_Q06,
-        "q07_asof_join": SQL_Q07,
+        "q06_fill": _sql_q06_fill(),
+        "q07_asof_modes": _sql_q07_modes(),
         "q08_warmup_filter": SQL_Q08,
         "q09_topk": SQL_Q09,
-        "q10_broadcast_norm": SQL_Q10,
+        "q10_norm_binning": _sql_q10_norm(),
         "q11_forward_window": SQL_Q11,
         "q12_tpch_q1": SQL_Q12,
         "q13_feature_stats": SQL_Q13,
         "q14_dedup_exact": SQL_Q14,
-        "q15_ngram_jaccard": SQL_Q15,
-        "q16_minhash": _sql_q16(),
-        "q17_simhash": _sql_q17(),
-        "q18_ann_cosine": SQL_Q18,
+        "q15_pair_similarity": _sql_q15_pairs(),
+        "q18_ann_methods": _sql_q18_ann(),
         "q19_text_quality": SQL_Q19,
         "q20_langid": SQL_Q20,
-        "q21_fingerprint": SQL_Q21,
-        "q22_multimodal_meta": SQL_Q22,
-        "q23_multimodal_decode": _sql_q23(),
+        "q21_doc_signals": _sql_q21_signals(),
+        "q22_multimodal": _sql_q22_multimodal(),
         "q24_decayed_mean": SQL_Q24,
-        "q25_minmax_norm": SQL_Q25,
         "q26_embedding_stats": SQL_Q26,
         "q27_join_agg": SQL_Q27,
-        "q28_embedding_dedup": _sql_q28(),
-        "q29_ann_lsh": _sql_q29(),
         "q30_hash_split": SQL_Q30,
-        "q31_stratified_sample": SQL_Q31,
-        "q32_pii_scrub": SQL_Q32,
+        "q31_samplers": _sql_q31_samplers(),
         "q33_top_ngrams": SQL_Q33,
         "q34_pack_sequences": SQL_Q34,
-        "q35_asof_strict": SQL_Q35,
-        "q36_backward_fill": SQL_Q36,
-        "q37_ann_ivf": SQL_Q37,
         "q38_dedup_clusters": _sql_q38(),
         "q39_repetition": SQL_Q39,
         "q40_multimodal_resize": _sql_q40(),
         "q41_session_window": SQL_Q41,
-        "q42_quantile_binning": SQL_Q42,
         "q43_bpe_encode": _sql_q43(),
         "q44_dedup_keep_best": _sql_q44(),
         "q45_decontaminate": SQL_Q45,
@@ -2104,7 +2260,6 @@ def oracle_sql() -> dict[str, str]:
         "q54_token_sequences": _sql_q54(),
         "q55_incremental_dedup": SQL_Q55,
         "q56_chunk_sequences": _sql_q56(),
-        "q57_fixed_size_sample": SQL_Q57,
         "q58_gopher_rules": SQL_Q58,
         "q59_ccnet_buckets": SQL_Q59,
         "q60_corpus_rollup": SQL_Q60,

@@ -44,9 +44,11 @@ ANCHORED_BASELINE: dict = {
     "feature_rows_per_anchor_high": 791679.0,
 }
 
+# quick-smoke subset (--skip-scaling); the full run times EVERY queries()
+# entry (round-4 task 5: per-query regression tracking)
 HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",
-            "q07_asof_join", "q10_broadcast_norm", "q12_tpch_q1",
-            "q15_ngram_jaccard", "q16_minhash", "q18_ann_cosine",
+            "q07_asof_modes", "q10_norm_binning", "q12_tpch_q1",
+            "q15_pair_similarity", "q18_ann_methods",
             "q19_text_quality", "q24_decayed_mean"]
 
 
@@ -158,13 +160,17 @@ def bench_features(cores: int, corpus: str, warm: bool = True,
         spark.stop()
 
 
-def bench_tokens_once(cores: int) -> tuple[float, int, float, float]:
+def bench_tokens_once(cores: int) -> tuple[float, int, float, float, int]:
     """One warmed measurement of the north-rule tokens pipeline (window
     features + the 148-feature Arrow kernel over the derived bar series).
-    Returns (full148 sec, rows, effective cores, window sec) — run via the
-    interleaved matrix so the tokens numbers get the same median-of-3 +
-    contention-spreading treatment as the feature levels (round-3 task 7:
-    the un-matrixed tokens number swung 4x between invocations)."""
+    Returns (full148 sec, full148 ROWS, effective cores, window sec,
+    window rows) — full_features emits ~16% fewer rows than
+    window_features (the 260-bar warm-up is dropped by the inner join), so
+    each rate divides by ITS OWN row count (round-4 advice: reporting
+    n_win / t_full inflated the full148 rate and broke cross-round
+    comparability). Run via the interleaved matrix so the tokens numbers
+    get the same median-of-3 + contention-spreading treatment as the
+    feature levels."""
     from forex_feature_generator_spark.engine import tokens as etok
     path = _ensure_seq_corpus()
     spark = _session(cores, f"ffg-bench-tokens-{cores}")
@@ -179,10 +185,10 @@ def bench_tokens_once(cores: int) -> tuple[float, int, float, float]:
         t_win = time.time() - t0
         c0 = _tree_cpu_seconds()
         t0 = time.time()
-        etok.full_features(seqs).count()
+        n_full = etok.full_features(seqs).count()
         t_full = time.time() - t0
         eff = (_tree_cpu_seconds() - c0) / t_full
-        return t_full, n_win, eff, t_win
+        return t_full, n_full, eff, t_win, n_win
     finally:
         spark.stop()
 
@@ -233,6 +239,7 @@ def bench_features_matrix(jobs: list[tuple],
     samples: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
     effs: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
     extras: dict[str, list[float]] = {k: [] for k, _, _, _ in jobs}
+    extra_rows: dict[str, int] = {}
     rows: dict[str, int] = {}
     retried: dict[str, int] = {k: 0 for k, _, _, _ in jobs}
     for _ in range(max(1, trials)):
@@ -249,6 +256,8 @@ def bench_features_matrix(jobs: list[tuple],
             effs[key].append(e)
             if len(res) > 3:
                 extras[key].append(res[3])
+            if len(res) > 4:
+                extra_rows[key] = res[4]
             rows[key] = r
     out = {}
     for key, cores, _, _ in jobs:
@@ -266,6 +275,8 @@ def bench_features_matrix(jobs: list[tuple],
         if extras[key]:
             out[key]["extra_sec"] = round(statistics.median(extras[key]), 2)
             out[key]["extra_trials_sec"] = [round(x, 2) for x in extras[key]]
+        if key in extra_rows:
+            out[key]["extra_rows"] = extra_rows[key]
     return out
 
 
@@ -309,18 +320,33 @@ def host_cpu_ceiling(levels=(1, 2, 4, 8, 32)) -> dict[str, float]:
     return out
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark, names: list[str] | None = None,
+                  trials: int = 3) -> tuple[dict[str, float], dict]:
+    """Per-query wall time at SF_DIR, noop sink. One untimed warm-up
+    execution (codegen/JIT) then `trials` timed runs; reports the MEDIAN
+    per query (round-4 task 5: per-query regression tracking over the FULL
+    suite — rounds 3-4 recorded only a headline subset, so query-level
+    regressions were invisible). Returns (medians, detail) where detail
+    carries per-query trial lists + spread for self-diagnosis; all numbers
+    are anchored by the same in-run anchor job as the feature levels."""
+    import statistics
     import __spark_entry__ as em
     qs = em.queries()
-    times = {}
-    for name in HEADLINE:
-        # first execution pays one-time codegen/JIT (~5s on the widest plans);
-        # report the second so numbers compare across rounds
+    names = names or list(qs)
+    times: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name in names:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        ts = []
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            ts.append(time.time() - t0)
+        times[name] = round(statistics.median(ts), 3)
+        detail[name] = {"trials_sec": [round(x, 3) for x in ts],
+                        "spread": round(max(ts) / min(ts), 2)}
+    return times, detail
 
 
 def _ensure_seq_corpus(n_rows: int = 120_000) -> str:
@@ -525,17 +551,26 @@ def main() -> None:
     spark = _session(CPUS, "ffg-bench-queries")
     try:
         t0 = time.time()
-        queries = bench_queries(spark)
+        # quick smoke (--skip-scaling): headline subset, 1 timed trial;
+        # full run: EVERY queries() entry, median of 3
+        queries, qdetail = bench_queries(
+            spark,
+            names=HEADLINE if args.skip_scaling else None,
+            trials=1 if args.skip_scaling else 3)
         suite_sec = time.time() - t0
         if args.skip_scaling:
             tokens = bench_tokens(spark)     # quick-smoke mode: in-session
         else:
             tok = m["tokens"]
+            # each rate divides by ITS OWN row count: rows = full_features
+            # output rows, extra_rows = window_features output rows (the
+            # r4 record divided n_win by the full148 seconds — inflated)
             tokens = {
                 "tokens_window_rows_per_sec": round(
-                    tok["rows"] / tok["extra_sec"], 1),
+                    tok["extra_rows"] / tok["extra_sec"], 1),
                 "tokens_full148_rows_per_sec": tok["rows_per_sec"],
                 "tokens_rows": tok["rows"],
+                "tokens_window_rows": tok["extra_rows"],
                 "tokens_full148_trials_sec": tok["trials_sec"],
                 "tokens_window_trials_sec": tok["extra_trials_sec"],
                 "tokens_trial_spread": tok["trial_spread"],
@@ -557,6 +592,11 @@ def main() -> None:
 
     result["value"] = round(suite_sec, 2)
     result["queries"] = queries
+    result["queries_detail"] = qdetail
+    result["queries_protocol"] = (
+        "per query: 1 untimed warm-up + median of "
+        f"{1 if args.skip_scaling else 3} timed noop-sink runs at {SF_DIR}; "
+        "anchor by anchor_job.sec for cross-round comparison")
     result.update(scaling)
     result.update(tokens)
     print(json.dumps(result))
