@@ -2156,6 +2156,59 @@ SELECT 'fixed_k' AS method, doc_id, lang FROM ({SQL_Q57})
 """
 
 
+def q61_length_profile(spark, sf_dir):
+    """Per-source sequence-length profile (count / token mass / mean /
+    p10-p50-p90) through the shared exact-vs-sketch quantile gate — see
+    ops/text.py::length_profile."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.length_profile(docs, group_col="source")
+
+
+SQL_Q61 = """
+WITH t AS (
+  SELECT source AS group_key,
+         len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS n_tok
+  FROM documents)
+SELECT group_key, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       round(avg(n_tok), 6) AS mean_tok,
+       round(quantile_cont(n_tok, 0.1), 6) AS p10,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90
+FROM t GROUP BY group_key
+"""
+
+
+def q62_source_leakage(spark, sf_dir):
+    """Cross-shard n-gram leakage matrix (train/train sibling of benchmark
+    decontamination): shared distinct 5-gram counts + overlap fraction for
+    every source pair — see ops/text.py::cross_source_leakage."""
+    docs = _load(spark, sf_dir, "documents")
+    return TXT.cross_source_leakage(docs, n=5)
+
+
+SQL_Q62 = """
+WITH w AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS s
+  FROM w),
+tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.n_shared,
+       ta.n_sh AS n_sh_a, tb.n_sh AS n_sh_b,
+       round(p.n_shared * 1.0 / least(ta.n_sh, tb.n_sh), 6) AS leakage
+FROM p JOIN tot ta ON ta.source = p.source_a
+       JOIN tot tb ON tb.source = p.source_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # <= 50 entries by design: the driver records correctness rows for at
     # most 50 (see the consolidation note above) — related operators are
@@ -2210,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_gopher_rules": q58_gopher_rules,
         "q59_ccnet_buckets": q59_ccnet_buckets,
         "q60_corpus_rollup": q60_corpus_rollup,
+        "q61_length_profile": q61_length_profile,
+        "q62_source_leakage": q62_source_leakage,
     }
 
 
@@ -2263,4 +2318,6 @@ def oracle_sql() -> dict[str, str]:
         "q58_gopher_rules": SQL_Q58,
         "q59_ccnet_buckets": SQL_Q59,
         "q60_corpus_rollup": SQL_Q60,
+        "q61_length_profile": SQL_Q61,
+        "q62_source_leakage": SQL_Q62,
     }

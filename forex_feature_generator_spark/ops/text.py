@@ -313,3 +313,75 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         F.round(dup_frac, 6).alias("dup_word_frac"),
         reasons.cast("int").alias("reasons"),
         (reasons == 0).alias("keep"))
+
+
+def length_profile(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text",
+                   n_rows: int | None = None) -> DataFrame:
+    """Per-group sequence-length profile: doc count, token-mass, mean and
+    p10/p50/p90 whitespace-token counts. The corpus report every
+    training-data pipeline keeps next to its mixture weights — a source
+    whose length distribution collapses (truncation bug) or explodes
+    (concatenation bug) shows up here before it skews packing and budgets.
+
+    Quantiles go through the engine's shared size gate
+    (engine.normalize.gated_quantile_agg): exact `percentile` below
+    EXACT_QUANTILE_MAX_ROWS, mergeable approx_percentile sketch above —
+    same partial-aggregated one-pass groupBy either way, no per-group sort.
+    Pass `n_rows` when the corpus size is known to skip the count job."""
+    from ..engine.normalize import gated_quantile_agg
+
+    if n_rows is None:
+        n_rows = docs.count()
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    q = gated_quantile_agg(F.col("n_tok"), [0.1, 0.5, 0.9], n_rows)
+    return (docs.select(F.col(group_col).alias("group_key"),
+                        n_tok.alias("n_tok"))
+            .groupBy("group_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.round(F.avg("n_tok"), 6).alias("mean_tok"),
+                 q.alias("__q"))
+            .select("group_key", "n_docs", "n_tokens", "mean_tok",
+                    F.round(F.col("__q")[0], 6).alias("p10"),
+                    F.round(F.col("__q")[1], 6).alias("p50"),
+                    F.round(F.col("__q")[2], 6).alias("p90")))
+
+
+def cross_source_leakage(docs: DataFrame, n: int = 5,
+                         text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Cross-shard n-gram leakage matrix: for every unordered source pair
+    (a < b), how many distinct word n-grams they share, and that overlap as
+    a fraction of the smaller side's shingle set. The train/train sibling
+    of benchmark decontamination (`contamination`): mirrored sites, syndicated
+    boilerplate, and copy-paste between crawl shards surface as hot pairs —
+    exactly what a dedup/mixture plan needs to see before weighting sources
+    independently.
+
+    Scale shape (100 TB): distinct (shingle-md5, source) is ONE
+    partial-aggregated shuffle on the 16-byte hash (the text itself is
+    never shuffled); the equi-self-join on the hash reuses that
+    partitioning (no second exchange of the big side) and fans out at most
+    S rows per key (S = #sources); the pair aggregation partial-aggs down
+    to <= S^2/2 rows; per-source totals are an S-row broadcast. Nothing is
+    quadratic in the corpus."""
+    from .dedup import shingles
+
+    sh = (shingles(docs, text_col, source_col, n)
+          .select(F.col("id").alias("src"), F.md5("shingle").alias("h"))
+          .distinct())
+    tot = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (sh.join(sh.select(F.col("src").alias("src_b"), "h"), "h")
+             .filter(F.col("src") < F.col("src_b"))
+             .groupBy(F.col("src").alias("source_a"),
+                      F.col("src_b").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    ta = F.broadcast(tot.select(F.col("src").alias("source_a"),
+                                F.col("n_sh").alias("n_sh_a")))
+    tb = F.broadcast(tot.select(F.col("src").alias("source_b"),
+                                F.col("n_sh").alias("n_sh_b")))
+    leak = F.col("n_shared") / F.least(F.col("n_sh_a"), F.col("n_sh_b"))
+    return (pairs.join(ta, "source_a").join(tb, "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    "n_sh_a", "n_sh_b", F.round(leak, 6).alias("leakage")))

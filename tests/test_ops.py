@@ -745,3 +745,36 @@ def test_bpe_null_text_both_paths(spark):
         assert got[2] == (0, []), f"gate={gate}"
         assert got[3] == (0, []), f"gate={gate}"
         assert got[1][0] > 0
+
+
+def test_length_profile_exact(spark):
+    """Hand-computed per-group length stats incl. interpolated quantiles."""
+    from forex_feature_generator_spark.ops.text import length_profile
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c d e", "s1"), (3, "a", "s1"),
+         (4, "x y", "s2")],
+        "doc_id int, text string, source string")
+    got = {r["group_key"]: r for r in length_profile(docs).collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_tokens"] == 9
+    assert abs(got["s1"]["mean_tok"] - 3.0) < 1e-9
+    # sorted [1,3,5]: p50 = 3; p10 = 1 + 0.2*(3-1) = 1.4 (linear interp)
+    assert abs(got["s1"]["p50"] - 3.0) < 1e-9
+    assert abs(got["s1"]["p10"] - 1.4) < 1e-9
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["p50"] == 2.0
+
+
+def test_cross_source_leakage_planted(spark):
+    """Two sources sharing exactly one 3-gram; a third disjoint source."""
+    from forex_feature_generator_spark.ops.text import cross_source_leakage
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"),      # shingles: ab g, bg d
+         (2, "alpha beta gamma zz qq", "s2"),      # shares 'alpha beta gamma'
+         (3, "one two three four", "s3")],
+        "doc_id int, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in cross_source_leakage(docs, n=3).collect()}
+    assert set(out) == {("s1", "s2")}              # disjoint pairs absent
+    r = out[("s1", "s2")]
+    assert r["n_shared"] == 1
+    assert r["n_sh_a"] == 2 and r["n_sh_b"] == 3
+    assert abs(r["leakage"] - 0.5) < 1e-9          # 1 / min(2, 3)
