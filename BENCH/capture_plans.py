@@ -285,6 +285,68 @@ def main() -> None:
         "tokens array passes through untouched.",
         plan15))
 
+    # 16. CCNet cutpoint path (round-5 de-skew) — NO per-language ntile sort
+    ccl = LMOD.ccnet_buckets(docs, use_cutpoints=True)
+    plan16 = explain_str(ccl, max_lines=70)
+    assert not re.search(r"\bntile\(", plan16)
+    sections.append((
+        "CCNet perplexity terciles — LARGE path (broadcast cutpoints)",
+        "Above the size gate the per-language ntile window (one sort task "
+        "per language — ~45% of a real crawl is English) is replaced by a "
+        "partial-aggregated groupBy(lang) computing tercile cutpoints "
+        "through gated_quantile_agg, broadcast as a G x 2 table into a "
+        "`when` chain: no per-language sort anywhere in the plan; the "
+        "exact ntile path remains the below-gate/oracle path.",
+        plan16))
+
+    # 17. cross-shard n-gram leakage — hash-keyed self-join, no cartesian
+    xl = TXT.cross_source_leakage(docs, n=5)
+    plan17 = explain_str(xl, max_lines=70)
+    assert "CartesianProduct" not in plan17
+    sections.append((
+        "Cross-shard n-gram leakage matrix (q62)",
+        "distinct (shingle-md5, source) is the ONLY corpus-sized shuffle "
+        "(16-byte keys, text never shuffled); the equi-self-join on the "
+        "hash reuses that partitioning with fan-out bounded by the source "
+        "count; the pair aggregation partial-aggs to <= S^2/2 rows and the "
+        "S-row totals broadcast.",
+        plan17))
+
+    # 18. per-source length profile — one partial-agged groupBy, no sort
+    lp = TXT.length_profile(docs, n_rows=500)
+    plan18 = explain_str(lp, max_lines=40)
+    assert "Sort" not in plan18.split("Exchange")[0]  # no pre-agg sort
+    sections.append((
+        "Per-source length profile (q61, gated quantiles)",
+        "count/sum/avg + percentile (exact below the shared gate, "
+        "mergeable approx_percentile sketch above) all ride ONE "
+        "partial-aggregated groupBy(source) — no per-group sort, no "
+        "second scan.",
+        plan18))
+
+    # 19. CSV dense seq, split-offsets mode — no window sort in the plan
+    import tempfile
+    from forex_feature_generator_spark import synth as _synth
+    from forex_feature_generator_spark.engine import tick_source as TSRC
+    tick_pdf = _synth.gen_ticks(n_sources=1, ticks_per_source=500,
+                                hot_sources=0, seed=3)
+    tmp_csv = os.path.join(tempfile.gettempdir(), "plans_seq.csv")
+    with open(tmp_csv, "w") as fcsv:
+        fcsv.write("Timestamp,Bid,Ask\n")
+        for r in tick_pdf[["ts", "bid", "ask"]].itertuples(index=False):
+            fcsv.write(f"{r.ts},{r.bid!r},{r.ask!r}\n")
+    so = TSRC.load_ticks_csv(spark, tmp_csv, seq_mode="split-offsets")
+    plan19 = explain_str(so, max_lines=40)
+    assert "Window" not in plan19
+    sections.append((
+        "CSV dense seq — split-offsets mode (scale path)",
+        "seq = broadcast per-split offset + in-split position, MAP-SIDE: "
+        "no Window, no sort, no shuffle of the tick scan (the default "
+        "window mode funnels the whole file through ONE sort task because "
+        "`source` is a single literal — documented as the small-file "
+        "path).",
+        plan19))
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan review of the key operators\n\n"
                 "Captured by `python BENCH/capture_plans.py` "
