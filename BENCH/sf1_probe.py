@@ -49,9 +49,15 @@ def _ensure_sf1() -> str:
     os.makedirs(SF1_DIR, exist_ok=True)
     rng = np.random.default_rng(42)
 
+    # one part FILE per replica: a single small parquet file gives Spark
+    # 1-2 input splits, which serializes every CPU-heavy narrow stage
+    # (shingle explode, BPE) onto 2 tasks — the first probe run measured
+    # exactly that artifact. Multi-file input restores realistic scan
+    # parallelism, which is what any real corpus has.
     docs = pd.read_parquet(os.path.join(SRC_SF, "documents.parquet"))
     n = len(docs)
-    out = []
+    ddir = os.path.join(SF1_DIR, "documents.parquet")
+    os.makedirs(ddir, exist_ok=True)
     for k in range(REPLICAS):
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + k * 1_000_000
@@ -62,13 +68,12 @@ def _ensure_sf1() -> str:
             mask = rng.random(n) < 0.7
             d.loc[mask, "text"] = d.loc[mask, "text"] + f" rep{k} extra"
             d["n_chars"] = d["text"].str.len()
-        out.append(d)
-    pd.concat(out, ignore_index=True).to_parquet(
-        os.path.join(SF1_DIR, "documents.parquet"), index=False)
+        d.to_parquet(os.path.join(ddir, f"part-{k:04d}.parquet"), index=False)
 
     emb = pd.read_parquet(os.path.join(SRC_SF, "embeddings.parquet"))
     dim = len(emb["embedding"].iloc[0])
-    outs = []
+    edir = os.path.join(SF1_DIR, "embeddings.parquet")
+    os.makedirs(edir, exist_ok=True)
     for k in range(REPLICAS):
         e = emb.copy()
         e["vec_id"] = e["vec_id"] + k * 1_000_000
@@ -77,9 +82,7 @@ def _ensure_sf1() -> str:
             e["embedding"] = [
                 (np.asarray(v, dtype="float32") + nz).tolist()
                 for v, nz in zip(e["embedding"], noise)]
-        outs.append(e)
-    pd.concat(outs, ignore_index=True).to_parquet(
-        os.path.join(SF1_DIR, "embeddings.parquet"), index=False)
+        e.to_parquet(os.path.join(edir, f"part-{k:04d}.parquet"), index=False)
 
     # remaining driver tables: symlink the sf0.1 originals (q54/q49 only
     # read documents; _load resolves any table in the dir)
@@ -148,8 +151,16 @@ def main() -> None:
     sf1 = _ensure_sf1()
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from forex_feature_generator_spark.engine.session import get_spark
+    # Split fidelity: a 100 TB corpus has ~400k input splits; this ~30 MB
+    # stand-in has ONE at the 256 MB default, which serializes every
+    # CPU-heavy narrow stage onto 1-2 tasks (first probe run: q62's shingle
+    # explode spent 45 s on 2 tasks). 2 MB splits + low open cost give the
+    # scan the per-core parallelism any real corpus has.
     spark = get_spark("ffg-sf1-probe", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+                      shuffle_partitions=max(CPUS, 8),
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "2097152",
+                          "spark.sql.files.openCostInBytes": "65536"})
     import bench
     import __spark_entry__ as em
     from forex_feature_generator_spark.engine import skew as eskew

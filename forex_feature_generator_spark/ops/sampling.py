@@ -83,10 +83,19 @@ def select_token_budget(df: DataFrame, budget: int,
     broadcast join back). No driver action, no single-partition sort of
     the corpus; the only global structure is the P-row offsets table.
 
-    Returns the input columns + cum_tokens + selected."""
+    Returns the input columns + cum_tokens + selected.
+
+    The input is PERSISTED first: the range partitioner's sampling pass and
+    the (not-reused) exchanges below otherwise re-evaluate the whole
+    upstream plan — with q49's regex-heavy quality scoring upstream, the
+    sf1 probe measured FOUR full evaluations per run
+    (BENCH/sf1_results.json). The cached frame is just the op's input
+    columns (id, priority, tokens — tens of bytes/row), the cheapest
+    representation the corpus has."""
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
+    df = df.persist()
     P = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(P, F.col(priority_col).desc(),
                                   F.col(id_col).asc())

@@ -359,23 +359,43 @@ def cross_source_leakage(docs: DataFrame, n: int = 5,
     exactly what a dedup/mixture plan needs to see before weighting sources
     independently.
 
-    Scale shape (100 TB): distinct (shingle-md5, source) is ONE
-    partial-aggregated shuffle on the 16-byte hash (the text itself is
-    never shuffled); the equi-self-join on the hash reuses that
-    partitioning (no second exchange of the big side) and fans out at most
-    S rows per key (S = #sources); the pair aggregation partial-aggs down
-    to <= S^2/2 rows; per-source totals are an S-row broadcast. Nothing is
-    quadratic in the corpus."""
+    Scale shape (100 TB): the corpus is shingled ONCE and reduced by ONE
+    partial-aggregated groupBy on the 8-byte xxhash64 of the shingle (the
+    text itself is never shuffled) into (hash, sorted source-set) — the
+    source set is bounded by S = #sources, not by occurrences. Both
+    outputs DERIVE from that reduced (hash, source-set) table, which is
+    PERSISTED so the totals branch and the pair branch share one corpus
+    scan (exchange reuse does not fire here — the higher-order shingle
+    lambdas defeat plan canonicalization, and without the persist the
+    whole shingle pipeline re-ran per branch: the sf1 probe measured the
+    earlier self-join formulation at 2x the corpus CPU,
+    BENCH/sf1_results.json): totals explode the set to S-row counts,
+    pairs explode the in-set combinations (<= S^2/2 per hash) and
+    partial-agg to <= S^2/2 rows. Nothing is quadratic in the corpus and
+    nothing scans it twice; the persisted table is the corpus reduced to
+    one row per distinct shingle (spills to disk above memory — same
+    stats-then-apply shape as engine.normalize)."""
     from .dedup import shingles
 
     sh = (shingles(docs, text_col, source_col, n)
-          .select(F.col("id").alias("src"), F.md5("shingle").alias("h"))
-          .distinct())
-    tot = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (sh.join(sh.select(F.col("src").alias("src_b"), "h"), "h")
-             .filter(F.col("src") < F.col("src_b"))
-             .groupBy(F.col("src").alias("source_a"),
-                      F.col("src_b").alias("source_b"))
+          .select(F.col("id").alias("src"), F.xxhash64("shingle").alias("h")))
+    # one corpus-sized exchange: collect_set dedups map-side (partial agg)
+    grouped = (sh.groupBy("h").agg(F.sort_array(F.collect_set("src"))
+                                   .alias("ss"))
+               .persist())
+    tot = (grouped.select(F.explode("ss").alias("src"))
+           .groupBy("src").agg(F.count(F.lit(1)).alias("n_sh")))
+    # unordered in-set pairs (a < b by sort order) via nested transforms
+    pair_arr = F.flatten(F.transform(
+        F.col("ss"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ss"), i + F.lit(2),
+                    F.greatest(F.size("ss") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (grouped.filter(F.size("ss") >= 2)
+             .select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("source_a"),
+                      F.col("p.b").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("n_shared")))
     ta = F.broadcast(tot.select(F.col("src").alias("source_a"),
                                 F.col("n_sh").alias("n_sh_a")))
