@@ -70,19 +70,33 @@ def _ensure_sf1() -> str:
             d["n_chars"] = d["text"].str.len()
         d.to_parquet(os.path.join(ddir, f"part-{k:04d}.parquet"), index=False)
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     emb = pd.read_parquet(os.path.join(SRC_SF, "embeddings.parquet"))
     dim = len(emb["embedding"].iloc[0])
     edir = os.path.join(SF1_DIR, "embeddings.parquet")
     os.makedirs(edir, exist_ok=True)
+    # explicit float32 list schema: .tolist() of a perturbed np array yields
+    # Python doubles, and pandas->parquet then writes list<double> for the
+    # perturbed replicas while replica 0 stays list<float> — Spark's
+    # vectorized reader refuses the mixed-schema directory
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
     for k in range(REPLICAS):
         e = emb.copy()
         e["vec_id"] = e["vec_id"] + k * 1_000_000
         if k > 0:
             noise = rng.normal(scale=0.05, size=(len(e), dim)).astype("float32")
             e["embedding"] = [
-                (np.asarray(v, dtype="float32") + nz).tolist()
+                np.asarray(v, dtype="float32") + nz
                 for v, nz in zip(e["embedding"], noise)]
-        e.to_parquet(os.path.join(edir, f"part-{k:04d}.parquet"), index=False)
+        tbl = pa.Table.from_pydict(
+            {"vec_id": e["vec_id"].to_numpy(),
+             "embedding": [np.asarray(v, dtype="float32")
+                           for v in e["embedding"]],
+             "label": e["label"].to_numpy()}, schema=schema)
+        pq.write_table(tbl, os.path.join(edir, f"part-{k:04d}.parquet"))
 
     # remaining driver tables: symlink the sf0.1 originals (q54/q49 only
     # read documents; _load resolves any table in the dir)
@@ -181,19 +195,29 @@ def main() -> None:
         return eskew.run_pipeline_salted(spark, ticks, chunk_bars=4000).count()
     results["probes"].append(probe(spark, "feature_pipeline_128x100000", feat))
 
-    # 2-5 + q62 over the 10x corpus
+    # 2-5 + q62 over the 10x corpus. noop sink, NOT count(): several of
+    # these end in a LEFT join, and count() prunes the entire right branch
+    # (q51's 12.5M-pair scoring vanished from the first probe runs — the
+    # recorded sub-second numbers measured assignment only).
     for name in ("q54_token_sequences", "q51_semdedup", "q46_bigram_lm",
                  "q49_token_budget", "q62_source_leakage"):
-        def run(n=name):
-            return qs[n](spark, sf1).count()
+        n_rows = qs[name](spark, sf1).count()     # untimed; rows for the log
+
+        def run(n=name, r=n_rows):
+            qs[n](spark, sf1).write.format("noop").mode("overwrite").save()
+            return r
         results["probes"].append(probe(spark, name, run))
 
     # q59 with the LARGE (cutpoint) path forced — the de-skew evidence:
     # no per-language sort stage, buckets from broadcast cutpoints
     docs = spark.read.parquet(os.path.join(sf1, "documents.parquet"))
 
+    cc_rows = LM.ccnet_buckets(docs, use_cutpoints=True).count()
+
     def ccnet_large():
-        return LM.ccnet_buckets(docs, use_cutpoints=True).count()
+        (LM.ccnet_buckets(docs, use_cutpoints=True)
+         .write.format("noop").mode("overwrite").save())
+        return cc_rows
     results["probes"].append(probe(spark, "q59_ccnet_cutpoint_path",
                                    ccnet_large))
 

@@ -289,7 +289,12 @@ def dup_span_coverage(docs: DataFrame, n: int = 8, text_col: str = "text",
             F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, n))).alias("gh")))
     ).otherwise(F.array().cast(gram_t))
     grams = (base.select("id", F.explode(grams_arr).alias("g"))
-             .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")))
+             .select("id", F.col("g.pos").alias("pos"),
+                     F.col("g.gh").alias("gh"))
+             # persisted: the count branch and the join-back both read the
+             # exploded gram stream — uncached it is built twice (measured
+             # 18.3 s + 15.5 s duplicate stages at the 10x probe)
+             .persist())
 
     cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
     dup_pos = (grams.join(cnt, "gh")

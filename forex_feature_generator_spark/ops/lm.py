@@ -61,10 +61,15 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     base = _word_arrays(docs, text_col, id_col)
     tok = base.select("id", F.explode("ws").alias("w"))
 
+    # persisted: the vocab is broadcast THREE times below (toku, v1, v2)
+    # and each BroadcastExchange would otherwise re-run the top-V job —
+    # which itself re-explodes the corpus (measured 4 duplicate heavy
+    # stages at the 10x probe, BENCH/sf1_results.json)
     vocab = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
              .orderBy(F.col("c").desc(), F.col("w").asc())
              .limit(vocab_size)
-             .select("w"))
+             .select("w")
+             .persist())
 
     # token stream mapped through the (broadcast) vocab -> unigram counts
     toku = (tok.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "w", "left")
@@ -83,7 +88,12 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
                    F.when(F.col("__v1").isNotNull(), F.col("w1"))
                    .otherwise(F.lit(UNK)).alias("w1m"),
                    F.when(F.col("__v2").isNotNull(), F.col("w2"))
-                   .otherwise(F.lit(UNK)).alias("w2m")))
+                   .otherwise(F.lit(UNK)).alias("w2m"))
+           # persisted: referenced by BOTH the bigram-count branch and the
+           # scoring join — without the cache the explode+map pipeline
+           # runs twice (spills to disk above memory, the training-pass
+           # trade every self-trained LM makes)
+           .persist())
     bi = bgm.groupBy("w1m", "w2m").agg(F.count(F.lit(1)).alias("cb"))
 
     denom_pad = F.lit(float(alpha)) * F.lit(float(vocab_size + 1))

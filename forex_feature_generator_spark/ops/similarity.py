@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -124,7 +125,11 @@ def hash_centroids(corpus: DataFrame, n_cells: int,
     return (picked
             .withColumn("cell", F.row_number().over(
                 Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
-            .select("cell", "c_vec"))
+            .select("cell", "c_vec")
+            # persisted (K rows): callers broadcast this table more than
+            # once (ivf assigns corpus AND queries; each BroadcastExchange
+            # would re-run the distributed TakeOrdered over the corpus)
+            .persist())
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -253,10 +258,12 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
 
     Scale shape (100 TB): centroids broadcast (n_cells rows); assignment is
     one corpus scan with n_cells JVM dot products per row; the pairwise
-    check is an equi-self-join ON CELL, so candidate work is sum(|cell|^2)
-    not |corpus|^2 — exactly the trade SemDeDup's clustering buys. Cosine
-    compared on round(·, 6) so the Spark and oracle float paths bin
-    boundary pairs identically.
+    check is ONE groupBy(cell) Arrow shuffle into a per-cell vectorized
+    numpy gram product (each row crosses Arrow once, pairs never
+    materialize as rows), so candidate work is sum(|cell|^2) GEMM flops,
+    not |corpus|^2 — exactly the trade SemDeDup's clustering buys, in the
+    matrix form the paper computes. Cosine compared on round(·, 6) so the
+    Spark and oracle float paths bin boundary pairs identically.
 
     CELL SIZING (round-4 review — a fixed cell count is quadratic death at
     scale: expected candidate pairs ~ N^2 / n_cells, so n_cells must GROW
@@ -301,16 +308,43 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
                              (-F.col("cell")).alias("__nc"))).alias("__m"))
                 .select(id_col, F.col("__m.__vec").alias("__vec"),
                         F.col("__m.cell").alias("cell")))
-    a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"),
-                        F.col("__vec").alias("va"))
-    b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"),
-                        F.col("__vec").alias("vb"))
-    cos = with_cosine(
-        a.join(b, "cell").filter(F.col("id_b") < F.col("id_a")),
-        "va", "vb")
-    dups = (cos.filter(F.round(F.col("cosine"), 6) >= threshold)
-            .select(F.col("id_a").alias(id_col)).distinct()
-            .withColumn("__dup", F.lit(True)))
-    return (assigned.join(dups, id_col, "left")
-            .select(id_col, "cell",
-                    F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")))
+    # Within-cell pair check as a per-cell BLAS matrix product (the shape
+    # the SemDeDup paper actually computes): ONE groupBy(cell) shuffle
+    # moves each row ONCE over Arrow, then numpy does the normalized
+    # gram matrix in row blocks. The two rejected alternatives, both
+    # measured at the 10x probe (20k x 64-dim, 12.5M candidate pairs):
+    # the expression-tree pair join evaluates interpreted HOF cosines
+    # per PAIR (40 s raw, 20 s with norms hoisted); persisting `assigned`
+    # to dedup its three references demotes that join out of codegen
+    # (15x slower). This path: every pair scored inside one GEMM —
+    # sub-second at the same probe. Per-task memory is bounded by
+    # target_cell_size x dim plus a BLOCK x cell_size score block.
+    # Cosines rounded to 6 before the threshold compare, like the oracle.
+    import numpy as np
+    import pandas as pd
+
+    out_fields = [assigned.schema[id_col], assigned.schema["cell"]]
+    out_schema = T.StructType(out_fields
+                              + [T.StructField("is_dup", T.BooleanType())])
+
+    def _cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        M = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__vec"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Nrm = M / np.sqrt((M * M).sum(axis=1))[:, None]
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = np.round(Nrm[s:e] @ Nrm.T, 6)     # (e-s, n) score block
+            hit = C >= threshold
+            for i in range(s, e):
+                if i > 0 and hit[i - s, :i].any():  # only EARLIER ids mark i
+                    dup[i] = True
+        return pd.DataFrame({id_col: pdf[id_col], "cell": pdf["cell"],
+                             "is_dup": dup})
+
+    return assigned.groupBy("cell").applyInPandas(_cell_dups,
+                                                  schema=out_schema)

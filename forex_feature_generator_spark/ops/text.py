@@ -171,7 +171,11 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     Returns (doc_id, term, tf, df, tfidf, rank)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
-    tf = (tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    # persisted: n_words, df and the scoring join all derive from tf —
+    # without the cache the explode+count shuffle runs three times
+    # (measured as triplicate heavy stages at the 10x probe)
+    tf = (tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
     n_words = tf.groupBy("id").agg(F.sum("tf").alias("n_words"))
     df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("N"))
