@@ -230,8 +230,10 @@ def main() -> None:
         "SemDeDup semantic dedup (hash-quantizer cells)",
         "Centroids (n_cells rows) arrive as a BroadcastExchange; assignment "
         "is one corpus scan with per-row JVM dot products; the pairwise "
-        "check is an equi-self-join ON CELL (sum(|cell|^2) candidate work, "
-        "never |corpus|^2) and the dup marker re-attaches by id.",
+        "check is ONE groupBy(cell) Arrow shuffle into a per-cell blocked "
+        "numpy gram product (FlatMapGroupsInPandas in the plan) — "
+        "sum(|cell|^2) GEMM flops, never |corpus|^2, and each row crosses "
+        "Arrow once instead of once per pair.",
         plan11))
 
     # 12. unigram KL — vocab-sized key joins, nothing collected

