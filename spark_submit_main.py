@@ -25,6 +25,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="ticks parquet/csv (source, ts, bid, ask)")
     ap.add_argument("--input-format", default="parquet", choices=["parquet", "csv"])
+    ap.add_argument("--csv-seq-mode", default="window",
+                    choices=["window", "split-offsets"],
+                    help="dense-seq strategy for CSV input: 'window' (lazy, "
+                         "one sort task per source - fine for the "
+                         "reference's per-pair files) or 'split-offsets' "
+                         "(per-split counts + map-side offsets, no sort - "
+                         "the multi-GB single-file path)")
     ap.add_argument("--synth-ticks", help="SOURCESxTICKS deterministic corpus, e.g. 64x50000")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features",
@@ -82,7 +89,8 @@ def main() -> None:
             # reference CSV shape Timestamp,Bid,Ask (TickLoader.cs:92-115);
             # malformed rows dropped + counted, comment/blank lines skipped
             from forex_feature_generator_spark.engine import tick_source
-            ticks = tick_source.load_ticks_csv(spark, args.input)
+            ticks = tick_source.load_ticks_csv(spark, args.input,
+                                               seq_mode=args.csv_seq_mode)
             diag = tick_source.csv_diagnostics(spark, args.input)
             print(json.dumps({"csv_source": diag}))
         else:
