@@ -1,8 +1,16 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns with typed
 metadata. The Spark-side plumbing (schema, partitioning, Arrow batch shape,
-mapInPandas signatures) is real and tested; the actual media decode is STUBBED
-— the container has no image/audio libraries — behind a deterministic fake
-keyed on the content hash, or NotImplementedError when `strict`.
+mapInPandas signatures) is real and tested. Decode comes in three tiers:
+
+  * REAL for uncompressed formats, no codec libraries needed: `raw_decoder`
+    parses actual netpbm P5/P6, uncompressed 24-bpp BMP and PCM WAV headers;
+    `decode_raw_pixels` + `resize_raw_assets` do genuine pixel decode and
+    nearest-neighbor resize (output hashes are of the actual resized
+    buffer). Pixel-exact tests in tests/test_ops.py.
+  * INJECTABLE for compressed formats (JPEG/PNG/MP4/...): pass any
+    `decoder=` callable (a PIL/pyav/librosa implementation drops in).
+  * STUBBED default otherwise — a deterministic fake keyed on the content
+    hash (oracle-expressible), or NotImplementedError when `strict`.
 
 At 100 TB the pattern is: binary assets in their own parquet column chunk
 (never shuffled), metadata extracted once via Arrow-batched mapInPandas with
@@ -194,3 +202,156 @@ def documents_as_assets(docs: DataFrame, text_col: str = "text",
         F.lit("image").alias("modality"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),
         F.lit("application/octet-stream").alias("mime"))
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for uncompressed container formats (round 5). The sandbox has
+# no codec libraries, but netpbm PPM/PGM, uncompressed 24-bpp BMP and PCM
+# WAV need none — their headers and pixel/sample layouts are parsed here
+# with numpy only, which upgrades the decode path from "injectable stub"
+# to "real for uncompressed formats". Compressed formats (JPEG/PNG/MP4/...)
+# remain the documented `decoder=` injection seam.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_header(b: bytes):
+    """Parses 'P6'/'P5' netpbm headers (whitespace + '#' comments per spec).
+    Returns (fmt, width, height, maxval, pixel_offset) or None."""
+    if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    fmt = b[:2].decode()
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":                 # comment to end of line
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return None
+        fields.append(int(b[start:pos]))
+    if len(fields) < 3:
+        return None
+    pos += 1                                       # single whitespace after maxval
+    w, h, maxval = fields
+    return fmt, w, h, maxval, pos
+
+
+def _bmp_header(b: bytes):
+    """Uncompressed 24-bpp BITMAPINFOHEADER BMP. Returns
+    (width, height, top_down, pixel_offset) or None."""
+    import struct
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    pixel_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None
+    return w, abs(h), h < 0, pixel_off
+
+
+def _wav_header(b: bytes):
+    """PCM RIFF/WAVE. Returns (sample_rate, n_channels) or None."""
+    import struct
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    n_channels = struct.unpack_from("<H", b, 22)[0]
+    sample_rate = struct.unpack_from("<I", b, 24)[0]
+    return sample_rate, n_channels
+
+
+def raw_decoder(content: bytes, modality: str) -> tuple:
+    """REAL decoder for uncompressed formats, drop-in for the `decoder=`
+    seam: (width, height, n_frames, sample_rate) from actual file headers.
+    Supports netpbm P5/P6, uncompressed 24-bpp BMP, and PCM WAV; anything
+    else raises ValueError (compressed formats need a codec-backed decoder
+    injected — this function never fakes)."""
+    if modality in ("image", "video"):
+        ppm = _ppm_header(content)
+        if ppm is not None:
+            _, w, h, _, _ = ppm
+            return (w, h, 1 if modality == "video" else None, None)
+        bmp = _bmp_header(content)
+        if bmp is not None:
+            w, h, _, _ = bmp
+            return (w, h, 1 if modality == "video" else None, None)
+    elif modality == "audio":
+        wav = _wav_header(content)
+        if wav is not None:
+            return (None, None, None, wav[0])
+    raise ValueError(
+        f"raw_decoder: unrecognized/compressed {modality} bytes — inject a "
+        "codec-backed decoder via decoder= for this format")
+
+
+def decode_raw_pixels(content: bytes):
+    """Pixel array (numpy uint8, H x W x 3 RGB) from PPM/PGM/BMP bytes."""
+    import numpy as np
+    ppm = _ppm_header(content)
+    if ppm is not None:
+        fmt, w, h, maxval, off = ppm
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        ch = 3 if fmt == "P6" else 1
+        px = np.frombuffer(content, dtype=np.uint8, count=w * h * ch,
+                           offset=off).reshape(h, w, ch)
+        return np.repeat(px, 3, axis=2) if ch == 1 else px.copy()
+    bmp = _bmp_header(content)
+    if bmp is not None:
+        import numpy as np
+        w, h, top_down, off = bmp
+        stride = (w * 3 + 3) & ~3                  # rows padded to 4 bytes
+        rows = np.frombuffer(content, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)[:, :w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]    # BGR -> RGB
+        return img if top_down else img[::-1]      # bottom-up -> top-down
+    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP bytes")
+
+
+def resize_nearest(img, target_w: int, target_h: int):
+    """Aspect-fit nearest-neighbor resize (never upscales) — the same
+    geometry rule as resize_assets, on REAL pixels. Pure numpy indexing."""
+    import numpy as np
+    h, w = img.shape[:2]
+    scale = min(target_w / w, target_h / h, 1.0)
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    xi = (np.arange(ow) * (w / ow)).astype(np.int64).clip(0, w - 1)
+    yi = (np.arange(oh) * (h / oh)).astype(np.int64).clip(0, h - 1)
+    return img[yi][:, xi]
+
+
+def resize_raw_assets(assets: DataFrame, target_w: int = 64,
+                      target_h: int = 64) -> DataFrame:
+    """REAL resize for uncompressed image assets: decodes PPM/PGM/BMP
+    pixels, nearest-neighbor aspect-fit resizes them, and emits the sha256
+    of the ACTUAL resized RGB buffer (not a key derived from the source
+    hash). Same Arrow-batched mapInPandas shape as resize_assets — binary
+    never shuffled, one pass, executor memory bounded by the Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            src_w, src_h, out_w, out_h, shas = [], [], [], [], []
+            for c in pdf["content"]:
+                img = decode_raw_pixels(bytes(c or b""))
+                r = resize_nearest(img, target_w, target_h)
+                src_h.append(img.shape[0]); src_w.append(img.shape[1])
+                out_h.append(r.shape[0]); out_w.append(r.shape[1])
+                shas.append(hashlib.sha256(
+                    r.astype("uint8").tobytes()).hexdigest())
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "modality": pdf["modality"].to_numpy(),
+                "src_width": pd.array(src_w, dtype="Int32"),
+                "src_height": pd.array(src_h, dtype="Int32"),
+                "width": pd.array(out_w, dtype="Int32"),
+                "height": pd.array(out_h, dtype="Int32"),
+                "resized_sha256": shas,
+            })
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)

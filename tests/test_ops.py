@@ -778,3 +778,79 @@ def test_cross_source_leakage_planted(spark):
     assert r["n_shared"] == 1
     assert r["n_sh_a"] == 2 and r["n_sh_b"] == 3
     assert abs(r["leakage"] - 0.5) < 1e-9          # 1 / min(2, 3)
+
+
+def _ppm_bytes(w, h, px):
+    """px: numpy uint8 (h, w, 3)."""
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _bmp_bytes(w, h, px):
+    """Uncompressed 24-bpp bottom-up BMP from numpy (h, w, 3) RGB."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):                 # bottom-up
+        row = px[y, :, ::-1].tobytes()             # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0))
+    return header + data
+
+
+def _wav_bytes(sample_rate, n_samples=16):
+    import struct
+    data = b"\x00\x00" * n_samples
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_raw_decoder_real_headers(spark):
+    """The pure-numpy raw decoder reads REAL dimensions/rates from actual
+    PPM / BMP / WAV bytes through the same decoder= seam the stub uses —
+    the decode path is no longer fake for uncompressed formats."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8)
+    rows = [("a", "image", bytearray(_ppm_bytes(8, 4, px)), "image/x-ppm"),
+            ("b", "image", bytearray(_bmp_bytes(8, 4, px)), "image/bmp"),
+            ("c", "audio", bytearray(_wav_bytes(44100)), "audio/wav")]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in
+           MM.decode_assets(assets, decoder=MM.raw_decoder).collect()}
+    assert (got["a"]["width"], got["a"]["height"]) == (8, 4)
+    assert (got["b"]["width"], got["b"]["height"]) == (8, 4)
+    assert got["c"]["sample_rate"] == 44100 and got["c"]["width"] is None
+    # honest failure on compressed/unknown bytes — never fakes
+    with pytest.raises(ValueError, match="codec-backed"):
+        MM.raw_decoder(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_decode_raw_pixels_roundtrip():
+    """PPM and BMP bytes decode to the EXACT pixel array they were built
+    from (BMP path exercises BGR order, bottom-up rows, stride padding)."""
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd stride
+    assert (MM.decode_raw_pixels(_ppm_bytes(7, 5, px)) == px).all()
+    assert (MM.decode_raw_pixels(_bmp_bytes(7, 5, px)) == px).all()
+
+
+def test_resize_raw_assets_real_pixels(spark):
+    """resize_raw_assets hashes the ACTUAL nearest-neighbor-resized buffer:
+    verified against an independently computed reference resize."""
+    import hashlib as hl
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [("a", "image", bytearray(_ppm_bytes(16, 8, px)), "image/x-ppm")],
+        MM.ASSET_SCHEMA)
+    row = MM.resize_raw_assets(assets, target_w=8, target_h=8).first()
+    assert (row["src_width"], row["src_height"]) == (16, 8)
+    assert (row["width"], row["height"]) == (8, 4)      # aspect-fit 0.5x
+    xi = (np.arange(8) * 2).clip(0, 15)
+    yi = (np.arange(4) * 2).clip(0, 7)
+    ref = px[yi][:, xi]
+    assert row["resized_sha256"] == hl.sha256(ref.tobytes()).hexdigest()
