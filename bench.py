@@ -4,14 +4,33 @@ Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship feature
 pipeline on a deterministic synthetic tick corpus at TWO parallelism levels
 (local[N/4] vs local[N]) — the sandbox stand-in for the north rule's N vs 4N
-executor scaling criterion (BASELINE.md). Prints ONE JSON line:
+executor scaling criterion (BASELINE.md).
 
-  {"metric": "...", "value": <total suite sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "feature_rows_per_sec_low": ..., "feature_rows_per_sec_high": ...,
-   "scaling_efficiency": ...}
+EVIDENCE-UNDER-TIMEOUT protocol (round-5 lesson: the driver run hit its
+timeout and, because the old bench printed its JSON exactly once at the very
+end, produced NOTHING parseable — rc=124, parsed null):
+
+  * The result JSON line is printed after EVERY completed phase (and after
+    every interleaved matrix round / every few queries inside the long
+    phases), last-line-wins — a killed run still leaves the latest complete
+    snapshot on stdout.
+  * A wall-clock budget (--budget-sec / $SPARK_GRAFT_BENCH_BUDGET_SEC,
+    default 2700) degrades the protocol instead of overrunning: the
+    interleaved matrix stops after the rounds that fit (>= 1), the per-query
+    suite drops 3 timed trials -> 1 when tight and records any queries it
+    had to skip (no silent caps), and the post-run host-ceiling probe is
+    skipped last.
+  * Phase order puts the highest-value evidence first: anchor + scaling
+    matrix, then the per-query suite, then the r5-vs-r6 per-query
+    regression table.
+
+Final line shape: {"metric": "...", "value": <suite sec>, "unit": "sec",
+ "queries": {...}, "sf": ..., "feature_rows_per_sec_low": ...,
+ "feature_rows_per_sec_high": ..., "scaling_efficiency": ...,
+ "queries_vs_prev": {...}, "phases_done": [...], ...}
 
 Usage: python bench.py [--skip-scaling] [--corpus SOURCESxTICKS]
+                       [--budget-sec N]
 """
 
 from __future__ import annotations
@@ -50,6 +69,13 @@ HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",
             "q07_asof_modes", "q10_norm_binning", "q12_tpch_q1",
             "q15_pair_similarity", "q18_ann_methods",
             "q19_text_quality", "q24_decayed_mean"]
+
+# Prior round's anchored per-query table (round-5 task: regression diff).
+# Ratios divide each round's per-query median by ITS OWN run's anchor-job
+# seconds first, so host-speed drift between rounds cancels.
+PREV_QUERY_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "round5_bench_run1.json")
+QUERY_REGRESSION_FLAG = 1.5
 
 
 def _session(cores: int, app: str):
@@ -218,7 +244,9 @@ def bench_features_subprocess_trials(cores: int, corpus: str,
 
 
 def bench_features_matrix(jobs: list[tuple],
-                          trials: int = 3) -> dict[str, dict]:
+                          trials: int = 3,
+                          deadline: float | None = None,
+                          on_round=None) -> dict[str, dict]:
     """Runs every (key, cores, corpus) job `trials` times, INTERLEAVED
     round-robin (job A trial 1, job B trial 1, ..., A trial 2, B trial 2,
     ...) and reports the per-job MEDIAN. Rationale (round-2 lesson): with
@@ -232,7 +260,16 @@ def bench_features_matrix(jobs: list[tuple],
     host's loopback TCP has been observed to wedge an Arrow worker channel
     outright (cwnd collapse + 120 s RTOs on 127.0.0.1 — the trigger for the
     engine's Unix-domain-socket default, engine/session.py); a killed trial
-    is recorded in `retried`, not silently folded into the median."""
+    is recorded in `retried`, not silently folded into the median.
+
+    `deadline` (epoch seconds) bounds the phase: round 1 always completes
+    (every job needs >= 1 sample); before each later round, if the previous
+    round's wall time does not fit in the remaining budget the matrix stops
+    early — degraded evidence beats no evidence (round-5 lesson).
+    `on_round(completed)` fires after every completed round so the caller
+    can emit a partial result snapshot; `trials_completed` in each job dict
+    records how many rounds actually ran.
+    """
     import statistics
     import subprocess
     jobs = [j if len(j) == 4 else (*j, "features") for j in jobs]
@@ -242,15 +279,27 @@ def bench_features_matrix(jobs: list[tuple],
     extra_rows: dict[str, int] = {}
     rows: dict[str, int] = {}
     retried: dict[str, int] = {k: 0 for k, _, _, _ in jobs}
+    completed_rounds = 0
+    last_round_sec = 0.0
+
+    def _sub_timeout() -> int:
+        if deadline is None:
+            return 1500
+        return int(max(300, min(1500, deadline - time.time())))
+
     for _ in range(max(1, trials)):
+        if (deadline is not None and completed_rounds >= 1
+                and time.time() + last_round_sec > deadline):
+            break
+        round_t0 = time.time()
         for key, cores, corpus, kind in jobs:
             try:
                 res = bench_features_subprocess_trials(
-                    cores, corpus, trials=1, timeout=1500, kind=kind)
+                    cores, corpus, trials=1, timeout=_sub_timeout(), kind=kind)
             except (subprocess.TimeoutExpired, RuntimeError):
                 retried[key] += 1
                 res = bench_features_subprocess_trials(
-                    cores, corpus, trials=1, timeout=1500, kind=kind)
+                    cores, corpus, trials=1, timeout=_sub_timeout(), kind=kind)
             dt, r, e = res[0], res[1], res[2]
             samples[key].append(dt)
             effs[key].append(e)
@@ -259,6 +308,10 @@ def bench_features_matrix(jobs: list[tuple],
             if len(res) > 4:
                 extra_rows[key] = res[4]
             rows[key] = r
+        completed_rounds += 1
+        last_round_sec = time.time() - round_t0
+        if on_round is not None:
+            on_round(completed_rounds)
     out = {}
     for key, cores, _, _ in jobs:
         med = statistics.median(samples[key])
@@ -270,6 +323,7 @@ def bench_features_matrix(jobs: list[tuple],
             "effective_cores": round(statistics.median(effs[key]), 2),
             "trials_sec": [round(x, 2) for x in samples[key]],
             "trial_spread": round(max(samples[key]) / min(samples[key]), 2),
+            "trials_completed": len(samples[key]),
             "retried": retried[key],
         }
         if extras[key]:
@@ -321,32 +375,61 @@ def host_cpu_ceiling(levels=(1, 2, 4, 8, 32)) -> dict[str, float]:
 
 
 def bench_queries(spark, names: list[str] | None = None,
-                  trials: int = 3) -> tuple[dict[str, float], dict]:
+                  trials: int = 3, deadline: float | None = None,
+                  on_progress=None) -> tuple[dict[str, float], dict, list]:
     """Per-query wall time at SF_DIR, noop sink. One untimed warm-up
     execution (codegen/JIT) then `trials` timed runs; reports the MEDIAN
     per query (round-4 task 5: per-query regression tracking over the FULL
     suite — rounds 3-4 recorded only a headline subset, so query-level
-    regressions were invisible). Returns (medians, detail) where detail
-    carries per-query trial lists + spread for self-diagnosis; all numbers
-    are anchored by the same in-run anchor job as the feature levels."""
+    regressions were invisible). Returns (medians, detail, skipped) where
+    detail carries per-query trial lists + spread for self-diagnosis; all
+    numbers are anchored by the same in-run anchor job as the feature
+    levels.
+
+    Budget behavior (round-5 lesson): with `deadline` set, timed trials
+    degrade 3 -> 1 when less than ~5 min remain, and queries that cannot
+    start before the deadline are returned in `skipped` — recorded, never
+    silently dropped. `on_progress(times)` fires every few queries so the
+    caller can emit a partial snapshot.
+
+    Each execution (warm-up and timed) is followed by
+    ops.cache.release_all(): every op re-persists its own fresh
+    intermediates per call, so earlier executions' caches are pure dead
+    weight that accumulates LRU pressure across the ~50x4 executions of a
+    full suite and distorts late queries (round-5 review #2). The release
+    runs OUTSIDE the timed window; each timed run still pays its own
+    persist cost, as a cold production run would."""
     import statistics
     import __spark_entry__ as em
+    from forex_feature_generator_spark.ops import cache as opcache
     qs = em.queries()
     names = names or list(qs)
     times: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in names:
+    skipped: list[str] = []
+    for i, name in enumerate(names):
+        now = time.time()
+        if deadline is not None and now > deadline - 45:
+            skipped = names[i:]
+            break
+        trials_eff = max(1, trials)
+        if deadline is not None and now > deadline - 300:
+            trials_eff = 1
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        opcache.release_all()
         ts = []
-        for _ in range(max(1, trials)):
+        for _ in range(trials_eff):
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()
             ts.append(time.time() - t0)
+            opcache.release_all()
         times[name] = round(statistics.median(ts), 3)
         detail[name] = {"trials_sec": [round(x, 3) for x in ts],
                         "spread": round(max(ts) / min(ts), 2)}
-    return times, detail
+        if on_progress is not None and i % 5 == 4:
+            on_progress(times)
+    return times, detail, skipped
 
 
 def _ensure_seq_corpus(n_rows: int = 120_000) -> str:
@@ -386,187 +469,325 @@ def bench_tokens(spark) -> dict:
     }
 
 
+def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
+    """Round-5 task 2: anchored per-query regression table vs the prior
+    round. ratio = (q_now / anchor_now) / (q_prev / anchor_prev) — each
+    round's per-query median divides by its OWN run's anchor-job seconds
+    first, so the host's demonstrated 2-3x speed drift between rounds
+    cancels; > 1 means slower than last round, flagged above
+    QUERY_REGRESSION_FLAG. Falls back to the raw seconds ratio (noted in
+    the protocol string) when either run lacks an anchor."""
+    try:
+        with open(PREV_QUERY_TABLE) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    pq = prev.get("queries") or {}
+    pa = (prev.get("anchor_job") or {}).get("sec")
+    anchored = bool(anchor_sec) and bool(pa)
+    ratios, regressed, new = {}, [], []
+    for name, sec in queries.items():
+        if not pq.get(name):
+            new.append(name)
+            continue
+        r = ((sec / anchor_sec) / (pq[name] / pa) if anchored
+             else sec / pq[name])
+        ratios[name] = round(r, 3)
+        if r > QUERY_REGRESSION_FLAG:
+            regressed.append(name)
+    return {
+        "queries_vs_prev": ratios,
+        "queries_regressed": sorted(regressed),
+        "queries_new_vs_prev": sorted(new),
+        "queries_vs_prev_protocol": (
+            "per-query median normalized by in-run anchor_job.sec, vs the "
+            f"same-anchored table in {os.path.basename(PREV_QUERY_TABLE)}; "
+            f">1 = slower than prior round, flagged > {QUERY_REGRESSION_FLAG}"
+            + ("" if anchored
+               else " (RAW seconds ratio — anchor missing in one run)")),
+    }
+
+
+# wall-clock reserved at the end of the matrix phase for the query suite +
+# final probes; sized so a 1-trial 50-query pass (~140 s at round-5 speeds)
+# still fits even if the matrix eats its whole share
+QUERY_PHASE_RESERVE_SEC = 620
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--corpus", default="128x100000")
+    ap.add_argument("--budget-sec", type=float, default=float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700")),
+        help="wall-clock budget; the protocol degrades (fewer matrix "
+             "rounds, 1 query trial, skipped post-probe) instead of "
+             "overrunning it")
     args = ap.parse_args()
 
-    result: dict = {"metric": "headline suite wall time (sf ~0.1) + feature rows/sec scaling",
-                    "unit": "sec", "sf": SF_DIR}
+    t_start = time.time()
+    hard_deadline = t_start + args.budget_sec
 
-    scaling = {}
+    result: dict = {"metric": "headline suite wall time (sf ~0.1) + feature "
+                              "rows/sec scaling",
+                    "unit": "sec", "sf": SF_DIR, "value": None,
+                    "queries": {},
+                    "budget_sec": args.budget_sec,
+                    "phases_done": [], "degraded": []}
+
+    def emit():
+        # one parseable snapshot line per call, last-line-wins: a driver
+        # timeout at ANY point still finds the latest complete snapshot
+        # (round-5 lesson: rc=124 with zero JSON printed = no evidence)
+        print(json.dumps(result), flush=True)
+
+    def remaining() -> float:
+        return hard_deadline - time.time()
+
+    emit()                                   # parseable from second zero
+
+    # ---- phase 1: anchor + scaling matrix (highest-value evidence first)
+    m = None
+    scaling: dict = {}
     if not args.skip_scaling:
-        corpus = _ensure_corpus(args.corpus)
-        # Three N-vs-4N views (see BENCH/BASELINE.md):
-        #  1. raw strong pairs on the big corpus (2->8 and the host-ceiling-
-        #     bound 8->32),
-        #  2. a raw 1->4 strong pair on the same mid-size input, where the
-        #     single-socket host ceiling does not bind,
-        #  3. fixed-work-per-core WEAK scaling (2 cores/2W vs 8 cores/8W) —
-        #     the shape a 4N-executor cluster actually runs at 100 TB,
-        # plus a Spark-free host-capacity microbench (host_cpu_ceiling)
-        # BEFORE AND AFTER the measurement window, so a squeeze that starts
-        # or ends mid-bench is caught (round 2's single probe missed one).
-        # ALL jobs run interleaved round-robin, median-of-3
-        # (bench_features_matrix) — no level ever owns a contention window.
-        levels = sorted({2, max(1, CPUS // 4), CPUS})
-        small = _ensure_corpus("96x50000h0")
-        weak_lo = _ensure_corpus("32x50000h0")
-        weak_hi = _ensure_corpus("128x50000h0")
-        anchor_corpus = _ensure_corpus(ANCHOR_JOB_SPEC)
+        try:
+            corpus = _ensure_corpus(args.corpus)
+            levels = sorted({2, max(1, CPUS // 4), CPUS})
+            small = _ensure_corpus("96x50000h0")
+            weak_lo = _ensure_corpus("32x50000h0")
+            weak_hi = _ensure_corpus("128x50000h0")
+            anchor_corpus = _ensure_corpus(ANCHOR_JOB_SPEC)
 
-        ceil_before = host_cpu_ceiling()
-        jobs = ([(f"strong{c}", c, corpus) for c in levels]
-                + [("pair1", 1, small), ("pair4", 4, small),
-                   ("weak2", 2, weak_lo), ("weak8", 8, weak_hi),
-                   # pinned tiny reference job: in-run absolute host anchor —
-                   # every cross-round comparison divides by its wall-time
-                   ("anchor", ANCHOR_JOB_CORES, anchor_corpus),
-                   # tokens pipeline folded into the same interleaved
-                   # median-of-3 protocol (its un-matrixed number swung 4x)
-                   ("tokens", CPUS, "", "tokens")])
-        m = bench_features_matrix(jobs, trials=3)
-        ceil_after = host_cpu_ceiling()
-        anchor_t1 = {"before": ceil_before.pop("t1_sec"),
-                     "after": ceil_after.pop("t1_sec")}
-        ceil = {k: round(min(ceil_before[k], ceil_after.get(k, 99.0)), 2)
-                for k in ceil_before}
+            ceil_before = host_cpu_ceiling()
+            jobs = ([(f"strong{c}", c, corpus) for c in levels]
+                    + [("pair1", 1, small), ("pair4", 4, small),
+                       ("weak2", 2, weak_lo), ("weak8", 8, weak_hi),
+                       # pinned tiny reference job: in-run absolute host
+                       # anchor — every cross-round comparison divides by
+                       # its wall-time
+                       ("anchor", ANCHOR_JOB_CORES, anchor_corpus),
+                       # tokens pipeline folded into the same interleaved
+                       # median-of-3 protocol (un-matrixed it swung 4x)
+                       ("tokens", CPUS, "", "tokens")])
 
-        perf = {c: {"sec": m[f"strong{c}"]["sec"],
-                    "rows_per_sec": m[f"strong{c}"]["rows_per_sec"],
-                    "effective_cores": m[f"strong{c}"]["effective_cores"],
-                    "trials_sec": m[f"strong{c}"]["trials_sec"],
-                    "trial_spread": m[f"strong{c}"]["trial_spread"]}
-                for c in levels}
-        rows = m[f"strong{levels[-1]}"]["rows"]
-        lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
+            def _on_round(n):
+                result["matrix_rounds_done"] = n
+                emit()                       # heartbeat inside the long phase
 
-        t1, r1, e1 = m["pair1"]["sec"], m["pair1"]["rows"], m["pair1"]["effective_cores"]
-        t4, r4, e4 = m["pair4"]["sec"], m["pair4"]["rows"], m["pair4"]["effective_cores"]
-        tw2, rw2, ew2 = m["weak2"]["sec"], m["weak2"]["rows"], m["weak2"]["effective_cores"]
-        tw8, rw8, ew8 = m["weak8"]["sec"], m["weak8"]["rows"], m["weak8"]["effective_cores"]
-        raw_lo_mid = round(
-            (perf[mid]["rows_per_sec"] / perf[lo]["rows_per_sec"]) / (mid / lo), 3)
-        raw_mid_hi = round(
-            (perf[hi]["rows_per_sec"] / perf[mid]["rows_per_sec"]) / (hi / mid), 3)
-        raw_1_4 = round((r4 / t4) / (r1 / t1) / 4, 3)
-        scaling = {
-            "feature_rows": rows,
-            "feature_levels": perf,
-            "feature_rows_per_sec_low": perf[lo]["rows_per_sec"],
-            "feature_rows_per_sec_high": perf[hi]["rows_per_sec"],
-            # headline pair: raw same-input 1 -> 4, where the single-socket
-            # host ceiling does not bind. local[N] bounds JVM task slots,
-            # not the process tree's core use (the JVM scan/shuffle threads
-            # + Arrow python workers overlap, so 'local[1]' burns
-            # effective_cores_1 > 1 physical cores) — the per-effective-core
-            # number divides by the cores each level ACTUALLY used
-            # (Δcpu/Δwall of the whole process tree, measured via /proc).
-            "scaling_efficiency": raw_1_4,
-            "scaling_pair": "local[1] -> local[4], same input "
-                            f"(96x50000h0, {r1} rows; raw)",
-            "scaling_levels_1_4": {
-                "1": {"sec": round(t1, 2), "rows_per_sec": round(r1 / t1, 1),
-                      "effective_cores": round(e1, 2)},
-                "4": {"sec": round(t4, 2), "rows_per_sec": round(r4 / t4, 1),
-                      "effective_cores": round(e4, 2)}},
-            "scaling_efficiency_1_4_per_effective_core": round(
-                ((r4 / t4) / (r1 / t1)) / (e4 / e1), 3) if e1 > 0 else None,
-            "scaling_efficiency_2_8": raw_lo_mid,
-            "scaling_pair_2_8": f"local[{lo}] -> local[{mid}], same input ({args.corpus})",
-            "scaling_efficiency_2_8_per_effective_core": round(
-                (perf[mid]["rows_per_sec"] / perf[lo]["rows_per_sec"])
-                / (perf[mid]["effective_cores"] / perf[lo]["effective_cores"]), 3),
-            "scaling_efficiency_high_pair": raw_mid_hi,
-            "scaling_pair_high": f"local[{mid}] -> local[{hi}] (host-ceiling-bound, "
-                                 "see BENCH/BASELINE.md + host_cpu_ceiling)",
-            # fixed work per core: ideal = 1.0 (t constant as cores x work
-            # scale together) — the shape a 4N-executor cluster actually
-            # runs; this is the cluster-criterion stand-in
-            "weak_scaling_efficiency": round(tw2 / tw8, 3),
-            "weak_scaling_pair": "local[2]@32x50000h0 -> local[8]@128x50000h0 "
-                                 f"({rw2} -> {rw8} rows, fixed work/core)",
-            "weak_scaling_levels": {
-                "2": {"sec": round(tw2, 2), "rows_per_sec": round(rw2 / tw2, 1),
-                      "effective_cores": round(ew2, 2)},
-                "8": {"sec": round(tw8, 2), "rows_per_sec": round(rw8 / tw8, 1),
-                      "effective_cores": round(ew8, 2)}},
-            # contention-robust form: throughput per effective core is flat
-            # when the engine scales (corrects for transient host load that
-            # hits one level's measurement window but not the other's)
-            "weak_scaling_per_effective_core": round(
-                (rw8 / tw8 / ew8) / (rw2 / tw2 / ew2), 3) if ew2 > 0 else None,
-            # Spark-free capacity of this box at k concurrent processes
-            # (k * t1 / tk); normalization denominators for the raw pairs.
-            # min(before, after) of the two probes bracketing the window
-            "host_cpu_ceiling": ceil,
-            "host_cpu_ceiling_before": ceil_before,
-            "host_cpu_ceiling_after": ceil_after,
-            "trial_protocol": "interleaved round-robin across all (level, "
-                              "corpus) jobs, median of 3, fresh JVM per trial",
-            # self-interpretation: contended when any concurrency level fails
-            # to get its clean-host share — INCLUDING k=32, whose clean
-            # ceiling on this box is ~18.5-21 effective cores (round 2's
-            # 2/4-only heuristic said 'false' while the k=32 ceiling read
-            # 15.2 and the wide level regressed 2.2x) — or when the widest
-            # level's own interleaved trials spread >1.6x
-            "host_contended_during_run": bool(
-                ceil.get("2", 2.0) < 1.7 or ceil.get("4", 4.0) < 2.8
-                or ceil.get("8", 8.0) < 6.0 or ceil.get("32", 32.0) < 17.0
-                or m[f"strong{hi}"]["trial_spread"] > 1.6),
-            "scaling_efficiency_2_8_normalized": round(
-                raw_lo_mid * 4 / (ceil[str(mid)] / ceil[str(lo)]), 3)
-            if str(mid) in ceil and str(lo) in ceil else None,
-            "scaling_efficiency_8_32_normalized": round(
-                raw_mid_hi * 4 / (ceil[str(hi)] / ceil[str(mid)]), 3)
-            if str(hi) in ceil and str(mid) in ceil else None,
-        }
+            m = bench_features_matrix(
+                jobs, trials=3,
+                deadline=hard_deadline - QUERY_PHASE_RESERVE_SEC,
+                on_round=_on_round)
+            rounds_done = m[f"strong{levels[-1]}"]["trials_completed"]
+            if rounds_done < 3:
+                result["degraded"].append(
+                    f"matrix stopped after {rounds_done}/3 rounds (budget)")
 
-        # ---- absolute host anchors + normalized vs-baseline figure ----
-        anchor = m["anchor"]
-        # rows/sec x anchor-seconds = feature rows produced per one
-        # anchor-job-duration of wall time: host-speed-invariant (both
-        # numerator and denominator slow down together when the host does)
-        rows_per_anchor = round(perf[hi]["rows_per_sec"] * anchor["sec"], 1)
-        base = ANCHORED_BASELINE.get("feature_rows_per_anchor_high")
-        scaling.update({
-            # raw single-thread seconds of the fixed _burn loop (absolute
-            # host-speed probe), before and after the measurement window
-            "host_anchor_t1_sec": anchor_t1,
-            "anchor_job": {
-                "spec": f"{ANCHOR_JOB_SPEC}@local[{ANCHOR_JOB_CORES}], "
-                        "salted feature pipeline, fresh JVM",
-                "sec": anchor["sec"],
-                "rows": anchor["rows"],
-                "trials_sec": anchor["trials_sec"],
-                "trial_spread": anchor["trial_spread"],
-            },
-            "feature_rows_per_anchor_high": rows_per_anchor,
-            # ratio to the anchored baseline (BASELINE.md); >1 = faster
-            # than baseline after host-speed normalization
-            "vs_baseline_normalized": (round(rows_per_anchor / base, 3)
-                                       if base else None),
-        })
+            if remaining() > 90:
+                ceil_after = host_cpu_ceiling()
+            else:
+                ceil_after = dict(ceil_before)   # probe skipped: reuse
+                result["degraded"].append(
+                    "host_cpu_ceiling_after skipped (budget) — before-probe "
+                    "values reused")
+            anchor_t1 = {"before": ceil_before.pop("t1_sec"),
+                         "after": ceil_after.pop("t1_sec")}
+            ceil = {k: round(min(ceil_before[k], ceil_after.get(k, 99.0)), 2)
+                    for k in ceil_before}
 
+            perf = {c: {"sec": m[f"strong{c}"]["sec"],
+                        "rows_per_sec": m[f"strong{c}"]["rows_per_sec"],
+                        "effective_cores": m[f"strong{c}"]["effective_cores"],
+                        "trials_sec": m[f"strong{c}"]["trials_sec"],
+                        "trial_spread": m[f"strong{c}"]["trial_spread"]}
+                    for c in levels}
+            rows = m[f"strong{levels[-1]}"]["rows"]
+            lo, mid, hi = levels[0], levels[len(levels) // 2], levels[-1]
+
+            t1, r1, e1 = (m["pair1"]["sec"], m["pair1"]["rows"],
+                          m["pair1"]["effective_cores"])
+            t4, r4, e4 = (m["pair4"]["sec"], m["pair4"]["rows"],
+                          m["pair4"]["effective_cores"])
+            tw2, rw2, ew2 = (m["weak2"]["sec"], m["weak2"]["rows"],
+                             m["weak2"]["effective_cores"])
+            tw8, rw8, ew8 = (m["weak8"]["sec"], m["weak8"]["rows"],
+                             m["weak8"]["effective_cores"])
+            raw_lo_mid = round((perf[mid]["rows_per_sec"]
+                                / perf[lo]["rows_per_sec"]) / (mid / lo), 3)
+            raw_mid_hi = round((perf[hi]["rows_per_sec"]
+                                / perf[mid]["rows_per_sec"]) / (hi / mid), 3)
+            raw_1_4 = round((r4 / t4) / (r1 / t1) / 4, 3)
+            scaling = {
+                "feature_rows": rows,
+                "feature_levels": perf,
+                "feature_rows_per_sec_low": perf[lo]["rows_per_sec"],
+                "feature_rows_per_sec_high": perf[hi]["rows_per_sec"],
+                # headline pair: raw same-input 1 -> 4, where the
+                # single-socket host ceiling does not bind. local[N] bounds
+                # JVM task slots, not the process tree's core use (JVM
+                # scan/shuffle threads + Arrow python workers overlap, so
+                # 'local[1]' burns effective_cores_1 > 1 physical cores) —
+                # the per-effective-core number divides by the cores each
+                # level ACTUALLY used (Δcpu/Δwall via /proc).
+                "scaling_efficiency": raw_1_4,
+                "scaling_pair": "local[1] -> local[4], same input "
+                                f"(96x50000h0, {r1} rows; raw)",
+                "scaling_levels_1_4": {
+                    "1": {"sec": round(t1, 2),
+                          "rows_per_sec": round(r1 / t1, 1),
+                          "effective_cores": round(e1, 2)},
+                    "4": {"sec": round(t4, 2),
+                          "rows_per_sec": round(r4 / t4, 1),
+                          "effective_cores": round(e4, 2)}},
+                "scaling_efficiency_1_4_per_effective_core": round(
+                    ((r4 / t4) / (r1 / t1)) / (e4 / e1), 3) if e1 > 0 else None,
+                "scaling_efficiency_2_8": raw_lo_mid,
+                "scaling_pair_2_8": f"local[{lo}] -> local[{mid}], "
+                                    f"same input ({args.corpus})",
+                "scaling_efficiency_2_8_per_effective_core": round(
+                    (perf[mid]["rows_per_sec"] / perf[lo]["rows_per_sec"])
+                    / (perf[mid]["effective_cores"]
+                       / perf[lo]["effective_cores"]), 3),
+                "scaling_efficiency_high_pair": raw_mid_hi,
+                "scaling_pair_high": f"local[{mid}] -> local[{hi}] "
+                                     "(host-ceiling-bound, see "
+                                     "BENCH/BASELINE.md + host_cpu_ceiling)",
+                # fixed work per core: ideal = 1.0 (t constant as cores x
+                # work scale together) — the shape a 4N-executor cluster
+                # actually runs; this is the cluster-criterion stand-in
+                "weak_scaling_efficiency": round(tw2 / tw8, 3),
+                "weak_scaling_pair": "local[2]@32x50000h0 -> "
+                                     "local[8]@128x50000h0 "
+                                     f"({rw2} -> {rw8} rows, fixed work/core)",
+                "weak_scaling_levels": {
+                    "2": {"sec": round(tw2, 2),
+                          "rows_per_sec": round(rw2 / tw2, 1),
+                          "effective_cores": round(ew2, 2)},
+                    "8": {"sec": round(tw8, 2),
+                          "rows_per_sec": round(rw8 / tw8, 1),
+                          "effective_cores": round(ew8, 2)}},
+                # contention-robust form: throughput per effective core is
+                # flat when the engine scales (corrects for transient host
+                # load hitting one level's window but not the other's)
+                "weak_scaling_per_effective_core": round(
+                    (rw8 / tw8 / ew8) / (rw2 / tw2 / ew2), 3)
+                if ew2 > 0 else None,
+                # Spark-free capacity of this box at k concurrent processes
+                # (k * t1 / tk); normalization denominators for the raw
+                # pairs. min(before, after) of the probes bracketing the
+                # window
+                "host_cpu_ceiling": ceil,
+                "host_cpu_ceiling_before": ceil_before,
+                "host_cpu_ceiling_after": ceil_after,
+                "trial_protocol": "interleaved round-robin across all "
+                                  "(level, corpus) jobs, median of "
+                                  f"{rounds_done}, fresh JVM per trial",
+                # self-interpretation: contended when any concurrency level
+                # fails its clean-host share — INCLUDING k=32, whose clean
+                # ceiling here is ~18.5-21 effective cores — or when the
+                # widest level's own interleaved trials spread >1.6x
+                "host_contended_during_run": bool(
+                    ceil.get("2", 2.0) < 1.7 or ceil.get("4", 4.0) < 2.8
+                    or ceil.get("8", 8.0) < 6.0 or ceil.get("32", 32.0) < 17.0
+                    or m[f"strong{hi}"]["trial_spread"] > 1.6),
+                "scaling_efficiency_2_8_normalized": round(
+                    raw_lo_mid * 4 / (ceil[str(mid)] / ceil[str(lo)]), 3)
+                if str(mid) in ceil and str(lo) in ceil else None,
+                "scaling_efficiency_8_32_normalized": round(
+                    raw_mid_hi * 4 / (ceil[str(hi)] / ceil[str(mid)]), 3)
+                if str(hi) in ceil and str(mid) in ceil else None,
+            }
+
+            # ---- absolute host anchors + normalized vs-baseline figure
+            anchor = m["anchor"]
+            # rows/sec x anchor-seconds = feature rows produced per one
+            # anchor-job-duration of wall time: host-speed-invariant (both
+            # numerator and denominator slow down together with the host)
+            rows_per_anchor = round(perf[hi]["rows_per_sec"] * anchor["sec"], 1)
+            base = ANCHORED_BASELINE.get("feature_rows_per_anchor_high")
+            scaling.update({
+                # raw single-thread seconds of the fixed _burn loop
+                # (absolute host-speed probe), before + after the window
+                "host_anchor_t1_sec": anchor_t1,
+                "anchor_job": {
+                    "spec": f"{ANCHOR_JOB_SPEC}@local[{ANCHOR_JOB_CORES}], "
+                            "salted feature pipeline, fresh JVM",
+                    "sec": anchor["sec"],
+                    "rows": anchor["rows"],
+                    "trials_sec": anchor["trials_sec"],
+                    "trial_spread": anchor["trial_spread"],
+                },
+                "feature_rows_per_anchor_high": rows_per_anchor,
+                # ratio to the anchored baseline (BASELINE.md); >1 = faster
+                # than baseline after host-speed normalization
+                "vs_baseline_normalized": (round(rows_per_anchor / base, 3)
+                                           if base else None),
+            })
+            result.update(scaling)
+            result["phases_done"].append("scaling")
+        except Exception as e:            # noqa: BLE001 — evidence over purity
+            result["scaling_error"] = repr(e)[:500]
+            result["degraded"].append("scaling phase failed — see "
+                                      "scaling_error")
+        emit()
+
+    # ---- phase 2: per-query suite (every queries() entry, or the headline
+    # subset in --skip-scaling smoke mode)
     spark = _session(CPUS, "ffg-bench-queries")
     try:
+        q_trials = 3
+        if args.skip_scaling:
+            q_trials = 1
+        elif remaining() < 700:
+            q_trials = 1
+            result["degraded"].append(
+                "query suite degraded to 1 timed trial (budget)")
+
+        def _on_progress(times):
+            result["queries"] = times
+            emit()                          # partial table, last-line-wins
+
         t0 = time.time()
-        # quick smoke (--skip-scaling): headline subset, 1 timed trial;
-        # full run: EVERY queries() entry, median of 3
-        queries, qdetail = bench_queries(
+        queries, qdetail, qskipped = bench_queries(
             spark,
             names=HEADLINE if args.skip_scaling else None,
-            trials=1 if args.skip_scaling else 3)
+            trials=q_trials,
+            deadline=hard_deadline - 30,
+            on_progress=_on_progress)
         suite_sec = time.time() - t0
+
+        result["value"] = round(suite_sec, 2)
+        result["queries"] = queries
+        result["queries_detail"] = qdetail
+        if qskipped:
+            result["queries_skipped"] = qskipped
+            result["degraded"].append(
+                f"{len(qskipped)} queries skipped at deadline")
+        result["queries_protocol"] = (
+            "per query: 1 untimed warm-up + median of "
+            f"{q_trials} timed noop-sink runs at {SF_DIR}; ops caches "
+            "released between executions; anchor by anchor_job.sec for "
+            "cross-round comparison")
+        result["phases_done"].append("queries")
+        emit()
+
+        # ---- phase 3: r5-vs-r6 per-query regression diff (anchored)
+        vs = _queries_vs_prev(
+            queries, (scaling.get("anchor_job") or {}).get("sec"))
+        if vs is not None:
+            result.update(vs)
+            result["phases_done"].append("regression_diff")
+        emit()
+
+        # ---- phase 4: tokens figures + corpus lineage stats
         if args.skip_scaling:
-            tokens = bench_tokens(spark)     # quick-smoke mode: in-session
-        else:
+            result.update(bench_tokens(spark))     # quick smoke: in-session
+        elif m is not None:
             tok = m["tokens"]
             # each rate divides by ITS OWN row count: rows = full_features
-            # output rows, extra_rows = window_features output rows (the
-            # r4 record divided n_win by the full148 seconds — inflated)
-            tokens = {
+            # output rows, extra_rows = window_features output rows (the r4
+            # record divided n_win by the full148 seconds — inflated)
+            result.update({
                 "tokens_window_rows_per_sec": round(
                     tok["extra_rows"] / tok["extra_sec"], 1),
                 "tokens_full148_rows_per_sec": tok["rows_per_sec"],
@@ -575,32 +796,25 @@ def main() -> None:
                 "tokens_full148_trials_sec": tok["trials_sec"],
                 "tokens_window_trials_sec": tok["extra_trials_sec"],
                 "tokens_trial_spread": tok["trial_spread"],
-            }
-        if not args.skip_scaling:
+            })
+        if not args.skip_scaling and m is not None and remaining() > 30:
             # hot-bar lineage: the in-bar direction fold buffers
             # ticks-per-bar structs in one agg buffer; record the corpus's
             # worst bar so a burst corpus is visible in the record (the
             # two-level fold — aggregate_bars_partial(burst_subbars=K) —
             # bounds the buffer when this number gets hot)
             from forex_feature_generator_spark.engine import bars as ebars
-            t = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
             from pyspark.sql import functions as F
-            scaling["max_ticks_per_bar"] = (
+            t = spark.read.parquet(os.path.join(corpus, "ticks.parquet"))
+            result["max_ticks_per_bar"] = (
                 ebars.aggregate_bars_partial(t, 1)
                 .agg(F.max("tick_volume")).first()[0])
+        result["phases_done"].append("tokens")
     finally:
         spark.stop()
 
-    result["value"] = round(suite_sec, 2)
-    result["queries"] = queries
-    result["queries_detail"] = qdetail
-    result["queries_protocol"] = (
-        "per query: 1 untimed warm-up + median of "
-        f"{1 if args.skip_scaling else 3} timed noop-sink runs at {SF_DIR}; "
-        "anchor by anchor_job.sec for cross-round comparison")
-    result.update(scaling)
-    result.update(tokens)
-    print(json.dumps(result))
+    result["elapsed_sec"] = round(time.time() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -77,10 +77,16 @@ def load_ticks_csv(spark: SparkSession, path: str,
             .drop("_corrupt")
             .withColumn("source", F.lit(source_name))
             .withColumn("__arrival", F.monotonically_increasing_id()))
+    # seq is LONG in both modes: split-offsets is the multi-GB single-file
+    # scale path where >2^31-1 tick rows (~50 GB of ~25-byte rows) is
+    # reachable — an int cast would overflow silently there (round-5
+    # advice); window mode matches so the two modes stay schema-identical
+    # (tests assert mode parity on the same file).
     if seq_mode == "window":
         from pyspark.sql import Window
         w = Window.partitionBy("source").orderBy("__arrival")
-        return (good.withColumn("seq", F.row_number().over(w) - F.lit(1))
+        return (good.withColumn("seq", (F.row_number().over(w) - F.lit(1))
+                                .cast("long"))
                 .drop("__arrival"))
     if seq_mode != "split-offsets":
         raise ValueError(f"seq_mode must be 'window' or 'split-offsets', "
@@ -101,7 +107,7 @@ def load_ticks_csv(spark: SparkSession, path: str,
     off_df = spark.createDataFrame(offsets, "__split long, __off long")
     return (good.withColumn("__split", split)
             .join(F.broadcast(off_df), "__split")
-            .withColumn("seq", (F.col("__off") + local).cast("int"))
+            .withColumn("seq", (F.col("__off") + local).cast("long"))
             .drop("__arrival", "__split", "__off"))
 
 

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache import pin
+
 # 2^31-1 (Mersenne prime). The affine family (a*h + b) mod p must WRAP many
 # times to approximate a random permutation — with a large p (e.g. 2^61-1)
 # and 32-bit h the map is monotone in h, every hash picks the same minimum
@@ -87,12 +89,20 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3) -> DataFrame:
     """Exact Jaccard >= threshold pairs (a < b) via shingle equi-self-join.
     Correctness baseline; quadratic in duplicate-cluster size — use
-    minhash_lsh_pairs at scale."""
-    sh = shingles(docs, text_col, id_col, n).persist()
+    minhash_lsh_pairs at scale.
+
+    The self-join keys on xxhash64(shingle), not the shingle string (the
+    same optimization as decontaminate, round-5 review #3): the shuffle
+    carries fixed 8-byte keys instead of n-word strings, and distinct
+    shingles stay distinct up to the ~2^-64 per-pair collision rate of the
+    64-bit hash (a collision would count one phantom shared shingle —
+    documented, not observable at any tested scale)."""
+    sh = pin(shingles(docs, text_col, id_col, n)
+             .select("id", F.xxhash64("shingle").alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("inter")))
@@ -140,7 +150,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     bucket-join on (band_idx, band_hash), then verify candidates with the
     estimated Jaccard (fraction of matching minhashes)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, text_col, id_col, n).persist()
+    sigs = pin(minhash_signatures(docs, num_hashes, text_col, id_col, n))
     banded = sigs.select(
         "id",
         F.explode(F.transform(
@@ -190,9 +200,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     materializes it — the old shape re-joined new labels against old in a
     second job (an extra shuffle join per round) just to count changes."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (edges.union(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-             .distinct().persist())
+    edges = pin(edges.union(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+                .distinct())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
@@ -291,10 +301,11 @@ def dup_span_coverage(docs: DataFrame, n: int = 8, text_col: str = "text",
     grams = (base.select("id", F.explode(grams_arr).alias("g"))
              .select("id", F.col("g.pos").alias("pos"),
                      F.col("g.gh").alias("gh"))
-             # persisted: the count branch and the join-back both read the
-             # exploded gram stream — uncached it is built twice (measured
-             # 18.3 s + 15.5 s duplicate stages at the 10x probe)
-             .persist())
+             )
+    # pinned: the count branch and the join-back both read the exploded
+    # gram stream — uncached it is built twice (measured 18.3 s + 15.5 s
+    # duplicate stages at the 10x probe)
+    grams = pin(grams)
 
     cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
     dup_pos = (grams.join(cnt, "gh")
@@ -358,7 +369,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on
     15-bit bands (a pair within distance 3 shares at least one band)."""
-    sigs = simhash(docs, text_col, id_col).persist()
+    sigs = pin(simhash(docs, text_col, id_col))
     banded = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[

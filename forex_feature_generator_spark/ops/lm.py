@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import pin
 from .dedup import normalize_text
 
 UNK = "<unk>"
@@ -65,11 +66,10 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     # and each BroadcastExchange would otherwise re-run the top-V job —
     # which itself re-explodes the corpus (measured 4 duplicate heavy
     # stages at the 10x probe, BENCH/sf1_results.json)
-    vocab = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-             .orderBy(F.col("c").desc(), F.col("w").asc())
-             .limit(vocab_size)
-             .select("w")
-             .persist())
+    vocab = pin(tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.col("c").desc(), F.col("w").asc())
+                .limit(vocab_size)
+                .select("w"))
 
     # token stream mapped through the (broadcast) vocab -> unigram counts
     toku = (tok.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "w", "left")
@@ -89,11 +89,12 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
                    .otherwise(F.lit(UNK)).alias("w1m"),
                    F.when(F.col("__v2").isNotNull(), F.col("w2"))
                    .otherwise(F.lit(UNK)).alias("w2m"))
-           # persisted: referenced by BOTH the bigram-count branch and the
-           # scoring join — without the cache the explode+map pipeline
-           # runs twice (spills to disk above memory, the training-pass
-           # trade every self-trained LM makes)
-           .persist())
+           )
+    # pinned: referenced by BOTH the bigram-count branch and the scoring
+    # join — without the cache the explode+map pipeline runs twice (spills
+    # to disk above memory, the training-pass trade every self-trained LM
+    # makes)
+    bgm = pin(bgm)
     bi = bgm.groupBy("w1m", "w2m").agg(F.count(F.lit(1)).alias("cb"))
 
     denom_pad = F.lit(float(alpha)) * F.lit(float(vocab_size + 1))
@@ -164,10 +165,16 @@ def ccnet_buckets(docs: DataFrame, lang_col: str = "lang",
                   .otherwise("tail"))
         return j.select(id_col, lang_col, "perplexity",
                         bucket.alias("bucket"))
+    # forced cutpoints mode with an UNKNOWN row count must gate to the
+    # sketch: the whole point of this path is avoiding the exact
+    # `percentile` aggregate that buffers every per-language perplexity
+    # (passing 0 here selected exact — the OOM-at-scale path, round-5
+    # advice)
+    gate_rows = n_rows if n_rows is not None else EXACT_QUANTILE_MAX_ROWS + 1
     cuts = (j.groupBy(lang_col)
             .agg(gated_quantile_agg(F.col("perplexity"),
                                     [1.0 / 3.0, 2.0 / 3.0],
-                                    n_rows if n_rows is not None else 0)
+                                    gate_rows)
                  .alias("__q")))
     cuts = cuts.select(lang_col, F.col("__q")[0].alias("__c1"),
                        F.col("__q")[1].alias("__c2"))

@@ -238,6 +238,17 @@ def _ppm_header(b: bytes):
         return None
     pos += 1                                       # single whitespace after maxval
     w, h, maxval = fields
+    # A CRLF-written header leaves the '\n' of the "\r\n" separator inside
+    # the pixel data, silently shifting every decoded byte (round-5
+    # advice). The spec says ONE whitespace byte, so only consume the LF
+    # when the byte-count check proves it is separator, not pixel data.
+    ch = 3 if fmt == "P6" else 1
+    need = w * h * ch * (2 if maxval > 255 else 1)
+    if (b[pos - 1:pos] == b"\r" and b[pos:pos + 1] == b"\n"
+            and len(b) - pos - 1 >= need):
+        pos += 1
+    if len(b) - pos < need:
+        return None                                # truncated pixel data
     return fmt, w, h, maxval, pos
 
 

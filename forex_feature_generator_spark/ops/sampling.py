@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import pin
+
 HASH_BUCKETS = 1_000_000
 
 
@@ -95,7 +97,11 @@ def select_token_budget(df: DataFrame, budget: int,
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
-    df = df.persist()
+    # pin a same-columns ALIAS of the input, not the caller's frame:
+    # persisting the caller's own DataFrame object would change its storage
+    # level behind the caller's back (round-5 advice); the Project layer
+    # gives this op a private cacheable plan with identical data
+    df = pin(df.select(*df.columns))
     P = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(P, F.col(priority_col).desc(),
                                   F.col(id_col).asc())
@@ -167,7 +173,7 @@ def mixture_weights(df: DataFrame, group_cols: list[str],
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).cast("long").alias("n_tokens"))
     if target_shares is not None:
-        g0 = g0.persist()
+        g0 = pin(g0)
     tot = g0.agg(F.sum("n_tokens").alias("__tot"),
                  F.count(F.lit(1)).alias("__G"))
     share = F.col("n_tokens") / F.col("__tot")

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .cache import pin
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -82,8 +84,9 @@ def embedding_near_dups_lsh(corpus: DataFrame, dim: int,
     sets the bucket count per band = 2^bits)."""
     planes = hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // n_bands
-    sigs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                         lsh_signature(F.col(vec_col), planes).alias("sig")).persist()
+    sigs = pin(corpus.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("vec"),
+                             lsh_signature(F.col(vec_col), planes).alias("sig")))
     banded = sigs.select(
         "id",
         F.explode(F.array(*[
@@ -131,14 +134,13 @@ def hash_centroids(corpus: DataFrame, n_cells: int,
                       F.col(vec_col).alias("c_vec"))
               .orderBy(F.col("__h").asc(), F.col("__cid").asc())
               .limit(n_cells))
-    return (picked
-            .withColumn("cell", F.row_number().over(
-                Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
-            .select("cell", "c_vec")
-            # persisted (K rows): callers broadcast this table more than
-            # once (ivf assigns corpus AND queries; each BroadcastExchange
-            # would re-run the distributed TakeOrdered over the corpus)
-            .persist())
+    # pinned (K rows): callers broadcast this table more than once
+    # (ivf assigns corpus AND queries; each BroadcastExchange would re-run
+    # the distributed TakeOrdered over the corpus)
+    return pin(picked
+               .withColumn("cell", F.row_number().over(
+                   Window.orderBy(F.col("__h").asc(), F.col("__cid").asc())))
+               .select("cell", "c_vec"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -347,7 +349,11 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.5,
         block = 1024
         for s in range(0, n, block):
             e = min(s + block, n)
-            C = np.round(Nrm[s:e] @ Nrm.T, 6)     # (e-s, n) score block
+            Craw = Nrm[s:e] @ Nrm.T               # (e-s, n) score block
+            # half-AWAY-from-zero to 6 decimals, matching Spark F.round /
+            # DuckDB round (np.round is half-to-even: a cosine landing on
+            # a representable .5 at the 6th decimal would flip vs oracle)
+            C = np.sign(Craw) * np.floor(np.abs(Craw) * 1e6 + 0.5) / 1e6
             hit = C >= threshold
             for i in range(s, e):
                 if i > 0 and hit[i - s, :i].any():  # only EARLIER ids mark i

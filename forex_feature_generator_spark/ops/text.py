@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import pin
 from .dedup import normalize_text
 
 STOPWORDS = {
@@ -174,8 +175,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     # persisted: n_words, df and the scoring join all derive from tf —
     # without the cache the explode+count shuffle runs three times
     # (measured as triplicate heavy stages at the 10x probe)
-    tf = (tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
-          .persist())
+    tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
     n_words = tf.groupBy("id").agg(F.sum("tf").alias("n_words"))
     df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("N"))
@@ -390,9 +390,8 @@ def cross_source_leakage(docs: DataFrame, n: int = 5,
     sh = (shingles(docs, text_col, source_col, n)
           .select(F.col("id").alias("src"), F.xxhash64("shingle").alias("h")))
     # one corpus-sized exchange: collect_set dedups map-side (partial agg)
-    grouped = (sh.groupBy("h").agg(F.sort_array(F.collect_set("src"))
-                                   .alias("ss"))
-               .persist())
+    grouped = pin(sh.groupBy("h").agg(F.sort_array(F.collect_set("src"))
+                                      .alias("ss")))
     tot = (grouped.select(F.explode("ss").alias("src"))
            .groupBy("src").agg(F.count(F.lit(1)).alias("n_sh")))
     # unordered in-set pairs (a < b by sort order) via nested transforms

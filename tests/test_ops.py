@@ -854,3 +854,49 @@ def test_resize_raw_assets_real_pixels(spark):
     yi = (np.arange(4) * 2).clip(0, 7)
     ref = px[yi][:, xi]
     assert row["resized_sha256"] == hl.sha256(ref.tobytes()).hexdigest()
+
+
+def test_ppm_crlf_header_and_truncation():
+    """Round-5 advice: a netpbm header written with CRLF line endings must
+    not leave the '\\n' inside the pixel data (every pixel shifts by one
+    byte), and truncated pixel data must be rejected, not misdecoded."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    crlf = b"P6\r\n6 4\r\n255\r\n" + px.tobytes()
+    assert (MM.decode_raw_pixels(crlf) == px).all()
+    # plain LF still exact
+    lf = b"P6\n6 4\n255\n" + px.tobytes()
+    assert (MM.decode_raw_pixels(lf) == px).all()
+    # lone-\r separator with pixel data that BEGINS with 0x0A: the
+    # byte-count check proves the 0x0A is pixel data, not separator
+    px2 = px.copy()
+    px2[0, 0, 0] = 0x0A
+    cr = b"P6\r6 4\r255\r" + px2.tobytes()
+    assert (MM.decode_raw_pixels(cr) == px2).all()
+    # truncated pixel payload -> header parse rejects -> honest ValueError
+    with pytest.raises(ValueError):
+        MM.decode_raw_pixels(lf[:-5])
+
+
+def test_ops_cache_release(spark, docs):
+    """Round-5 review #2/#4: every op-persisted intermediate is registered
+    in ops.cache; release_all() after the consuming action frees executor
+    storage, so two ops back-to-back in one long-lived session do not
+    accumulate caches (the bench session runs ~50 queries x 4 executions)."""
+    from forex_feature_generator_spark.ops import cache as C
+    from forex_feature_generator_spark.ops import text as TX
+    C.release_all(blocking=True)             # clean slate for the baseline
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    # two pin()-using ops, materialized (jaccard pins hashed shingles,
+    # tfidf pins the tf table)
+    D.ngram_jaccard_pairs(docs, threshold=0.3).count()
+    TX.tfidf_topk(docs, k=2).count()
+    assert C.pinned_count() >= 2
+    assert sc._jsc.getPersistentRDDs().size() > before
+    released = C.release_all(blocking=True)
+    assert released >= 2
+    assert C.pinned_count() == 0
+    assert sc._jsc.getPersistentRDDs().size() == before
+    # idempotent: a second release is a no-op, not an error
+    assert C.release_all() == 0
