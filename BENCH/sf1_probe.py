@@ -221,6 +221,29 @@ def main() -> None:
     results["probes"].append(probe(spark, "q59_ccnet_cutpoint_path",
                                    ccnet_large))
 
+    # q38 connected components at 10x (round-6 task: the one top-5 query
+    # the round-5 probe missed). Scale risk = iteration count x one-job
+    # rounds, so record per-round convergence (round, changed, sec) from
+    # dedup_clusters itself. The clustering loop is EAGER (per-round count
+    # actions) — the timed window wraps pairs + loop + label sink.
+    from forex_feature_generator_spark.ops import dedup as D
+    from forex_feature_generator_spark.ops import cache as opcache
+    q38_rounds: list = []
+
+    def cc():
+        pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                                    threshold=0.05)
+        stats = []
+        labels = D.dedup_clusters(pairs, round_stats=stats)
+        labels.write.format("noop").mode("overwrite").save()
+        r = labels.count()
+        q38_rounds.append(stats)
+        opcache.release_all()
+        return r
+    results["probes"].append(probe(spark, "q38_dedup_clusters", cc))
+    results["probes"][-1]["cc_rounds"] = q38_rounds[-1]
+    results["probes"][-1]["cc_n_rounds"] = len(q38_rounds[-1])
+
     spark.stop()
     out = os.path.join(ROOT, "BENCH", "sf1_results.json")
     with open(out, "w") as f:

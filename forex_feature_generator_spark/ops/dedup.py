@@ -12,6 +12,8 @@ is DuckDB-oracle checkable, including SimHash). No Python UDFs."""
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -182,7 +184,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   round_stats: list | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (id, comp) where comp is
     the minimum id in the component (the canonical keeper).
 
@@ -198,7 +201,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     One job per round: the previous label rides along as `comp_old`, the
     checkpoint is LAZY, and the convergence count is the action that
     materializes it — the old shape re-joined new labels against old in a
-    second job (an extra shuffle join per round) just to count changes."""
+    second job (an extra shuffle join per round) just to count changes.
+
+    `round_stats`, when given a list, receives one dict per executed round
+    ({"round", "changed", "sec"}) — the 10x scale probe reads it to record
+    the convergence shape (rounds x one-job seconds) that dominates this
+    op's cost at scale."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = pin(edges.union(edges.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
@@ -206,7 +214,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        t0 = time.time()
         nbr = (edges.join(labels.select(F.col("id").alias("dst"),
                                         F.col("comp").alias("comp_n")), "dst")
                .groupBy("src").agg(F.min("comp_n").alias("nbr_min")))
@@ -228,6 +237,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # in the same job (comp_old is carried in the row — no re-join)
         changed = new.filter(F.col("comp") != F.col("comp_old")).count()
         labels = new.select("id", "comp")
+        if round_stats is not None:
+            round_stats.append({"round": it + 1, "changed": changed,
+                                "sec": round(time.time() - t0, 2)})
         if changed == 0:
             break
     edges.unpersist()

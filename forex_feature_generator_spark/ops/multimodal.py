@@ -2,13 +2,15 @@
 metadata. The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 mapInPandas signatures) is real and tested. Decode comes in three tiers:
 
-  * REAL for uncompressed formats, no codec libraries needed: `raw_decoder`
-    parses actual netpbm P5/P6, uncompressed 24-bpp BMP and PCM WAV headers;
-    `decode_raw_pixels` + `resize_raw_assets` do genuine pixel decode and
-    nearest-neighbor resize (output hashes are of the actual resized
-    buffer). Pixel-exact tests in tests/test_ops.py.
-  * INJECTABLE for compressed formats (JPEG/PNG/MP4/...): pass any
-    `decoder=` callable (a PIL/pyav/librosa implementation drops in).
+  * REAL, no codec libraries needed: `raw_decoder` parses actual netpbm
+    P5/P6, uncompressed 24-bpp BMP, PNG and PCM WAV; `decode_raw_pixels` +
+    `resize_raw_assets` do genuine pixel decode and nearest-neighbor resize
+    (output hashes are of the actual resized buffer). PNG — a COMPRESSED
+    format — decodes for real because its codec (DEFLATE) ships in the
+    Python stdlib (`zlib`) and the scanline filters are pure numpy
+    (decode_png_pixels). Pixel-exact tests in tests/test_ops.py.
+  * INJECTABLE for the remaining compressed formats (JPEG/MP4/...): pass
+    any `decoder=` callable (a PIL/pyav/librosa implementation drops in).
   * STUBBED default otherwise — a deterministic fake keyed on the content
     hash (oracle-expressible), or NotImplementedError when `strict`.
 
@@ -277,11 +279,156 @@ def _wav_header(b: bytes):
     return sample_rate, n_channels
 
 
+# ---- PNG (round 6): the one compressed format whose codec is in the
+# Python STDLIB — PNG's IDAT stream is DEFLATE (zlib) and its per-scanline
+# prediction filters are spec'd in RFC 2083 §6; both are public knowledge
+# and need no external library. This upgrades "compressed-format decode"
+# from injection-seam-only to REAL for PNG; JPEG/MP4 (entropy coding + DCT /
+# container demux) remain the documented `decoder=` seam.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(b: bytes):
+    """Yields (type, data) for each chunk, verifying lengths and CRC-32
+    (zlib.crc32 over type+data, per spec). Raises ValueError on a corrupt
+    or truncated chunk rather than misdecoding."""
+    import struct
+    import zlib
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(b):
+            raise ValueError("PNG: truncated chunk")
+        data = b[pos + 8:data_end]
+        (crc,) = struct.unpack_from(">I", b, data_end)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
+        yield ctype, data
+        pos = data_end + 4
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG: missing IEND")
+
+
+def _png_header(b: bytes):
+    """IHDR fields. Returns (width, height, bit_depth, color_type,
+    interlace) or None if the bytes are not PNG."""
+    import struct
+    if len(b) < len(_PNG_SIG) + 25 or not b.startswith(_PNG_SIG):
+        return None
+    for ctype, data in _png_chunks(b):
+        if ctype != b"IHDR" or len(data) != 13:
+            raise ValueError("PNG: first chunk is not a valid IHDR")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", data)
+        if comp != 0 or filt != 0:
+            raise ValueError("PNG: unknown compression/filter method")
+        return w, h, depth, color, interlace
+
+
+def _png_unfilter(raw, w: int, h: int, ch: int):
+    """Reverses the five per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6.3-6.9). numpy per row; Sub is an exact per-lane cumulative
+    sum mod 256, Up is one vector add, Average/Paeth walk pixels with
+    bpp-wide lane vectors. Returns (h, w*ch) uint8."""
+    import numpy as np
+    stride = w * ch
+    rows = raw.reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:]
+        if f == 0:                                  # None
+            rec = cur.copy()
+        elif f == 1:                                # Sub: prefix sum per lane
+            rec = (np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.uint64)
+                   % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:                                # Up
+            rec = cur + prev                        # uint8 wraps = mod 256
+        elif f == 3:                                # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(ch, dtype=np.uint16)
+            c16, p16 = cur.astype(np.uint16), prev.astype(np.uint16)
+            for x in range(0, stride, ch):
+                rec[x:x + ch] = (c16[x:x + ch]
+                                 + ((left + p16[x:x + ch]) >> 1)) & 0xFF
+                left = rec[x:x + ch].astype(np.uint16)
+        elif f == 4:                                # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            a = np.zeros(ch, dtype=np.int32)        # left
+            c = np.zeros(ch, dtype=np.int32)        # upper-left
+            b_ = prev.astype(np.int32)              # up
+            for x in range(0, stride, ch):
+                bb = b_[x:x + ch]
+                p = a + bb - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, bb, c))
+                rec[x:x + ch] = ((cur[x:x + ch].astype(np.int32) + pred)
+                                 & 0xFF).astype(np.uint8)
+                a = rec[x:x + ch].astype(np.int32)
+                c = bb
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png_pixels(content: bytes):
+    """REAL PNG decode (stdlib zlib + numpy, no codec libraries): 8-bit
+    non-interlaced gray / RGB / palette / gray+alpha / RGBA -> (h, w, 3)
+    uint8 RGB (alpha dropped, gray replicated, palette resolved via PLTE).
+    Raises ValueError on CRC mismatch, truncation, or unsupported variants
+    (16-bit, sub-byte depths, Adam7 interlace) — never misdecodes."""
+    import zlib
+    import numpy as np
+    hdr = _png_header(content)
+    if hdr is None:
+        raise ValueError("decode_png_pixels: not PNG bytes")
+    w, h, depth, color, interlace = hdr
+    if depth != 8:
+        raise ValueError(f"PNG: bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlace not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unknown color type {color}")
+    ch = _PNG_CHANNELS[color]
+    idat, plte = [], None
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * ch):
+        raise ValueError("PNG: decompressed size does not match dimensions")
+    px = _png_unfilter(raw, w, h, ch).reshape(h, w, ch)
+    if color == 3:                                  # palette
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE chunk")
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        return plte[px[:, :, 0]]
+    if color in (4, 6):                             # drop alpha
+        px = px[:, :, :-1]
+    if px.shape[2] == 1:                            # gray -> RGB
+        px = np.repeat(px, 3, axis=2)
+    return px.copy()
+
+
 def raw_decoder(content: bytes, modality: str) -> tuple:
-    """REAL decoder for uncompressed formats, drop-in for the `decoder=`
-    seam: (width, height, n_frames, sample_rate) from actual file headers.
-    Supports netpbm P5/P6, uncompressed 24-bpp BMP, and PCM WAV; anything
-    else raises ValueError (compressed formats need a codec-backed decoder
+    """REAL decoder, drop-in for the `decoder=` seam: (width, height,
+    n_frames, sample_rate) from actual file headers. Supports netpbm P5/P6,
+    uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), and PCM WAV;
+    anything else raises ValueError (JPEG/MP4 need a codec-backed decoder
     injected — this function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
@@ -291,6 +438,10 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
         bmp = _bmp_header(content)
         if bmp is not None:
             w, h, _, _ = bmp
+            return (w, h, 1 if modality == "video" else None, None)
+        png = _png_header(content)
+        if png is not None:
+            w, h = png[0], png[1]
             return (w, h, 1 if modality == "video" else None, None)
     elif modality == "audio":
         wav = _wav_header(content)
@@ -302,7 +453,7 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
 
 
 def decode_raw_pixels(content: bytes):
-    """Pixel array (numpy uint8, H x W x 3 RGB) from PPM/PGM/BMP bytes."""
+    """Pixel array (numpy uint8, H x W x 3 RGB) from PPM/PGM/BMP/PNG bytes."""
     import numpy as np
     ppm = _ppm_header(content)
     if ppm is not None:
@@ -322,7 +473,9 @@ def decode_raw_pixels(content: bytes):
                              offset=off).reshape(h, stride)[:, :w * 3]
         img = rows.reshape(h, w, 3)[:, :, ::-1]    # BGR -> RGB
         return img if top_down else img[::-1]      # bottom-up -> top-down
-    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP bytes")
+    if content.startswith(_PNG_SIG):
+        return decode_png_pixels(content)
+    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP/PNG bytes")
 
 
 def resize_nearest(img, target_w: int, target_h: int):
@@ -339,7 +492,7 @@ def resize_nearest(img, target_w: int, target_h: int):
 
 def resize_raw_assets(assets: DataFrame, target_w: int = 64,
                       target_h: int = 64) -> DataFrame:
-    """REAL resize for uncompressed image assets: decodes PPM/PGM/BMP
+    """REAL resize for decodable image assets: decodes PPM/PGM/BMP/PNG
     pixels, nearest-neighbor aspect-fit resizes them, and emits the sha256
     of the ACTUAL resized RGB buffer (not a key derived from the source
     hash). Same Arrow-batched mapInPandas shape as resize_assets — binary
