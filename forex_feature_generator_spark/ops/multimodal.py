@@ -5,10 +5,12 @@ mapInPandas signatures) is real and tested. Decode comes in three tiers:
   * REAL, no codec libraries needed: `raw_decoder` parses actual netpbm
     P5/P6, uncompressed 24-bpp BMP, PNG and PCM WAV; `decode_raw_pixels` +
     `resize_raw_assets` do genuine pixel decode and nearest-neighbor resize
-    (output hashes are of the actual resized buffer). PNG — a COMPRESSED
-    format — decodes for real because its codec (DEFLATE) ships in the
-    Python stdlib (`zlib`) and the scanline filters are pure numpy
-    (decode_png_pixels). Pixel-exact tests in tests/test_ops.py.
+    (output hashes are of the actual resized buffer). PNG and GIF —
+    COMPRESSED formats — decode for real: PNG's codec (DEFLATE) ships in
+    the Python stdlib (`zlib`) with the scanline filters in pure numpy
+    (decode_png_pixels); GIF's LZW is ~40 lines of pure Python
+    (decode_gif_pixels), and multi-frame GIFs give the video path a real
+    frame count. Pixel-exact tests in tests/test_ops.py.
   * INJECTABLE for the remaining compressed formats (JPEG/MP4/...): pass
     any `decoder=` callable (a PIL/pyav/librosa implementation drops in).
   * STUBBED default otherwise — a deterministic fake keyed on the content
@@ -424,12 +426,169 @@ def decode_png_pixels(content: bytes):
     return px.copy()
 
 
+# ---- GIF (round 6): the second compressed format needing no external
+# library — GIF's image data is LZW (a ~40-line pure-Python decode; the
+# CompuServe GIF87a/89a spec is public) over palette indices. Multi-frame
+# GIFs give the video path a REAL frame count.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes packed LSB-first, clear/end
+    codes at 2^mcs and 2^mcs+1, code width growing to 12 bits when the
+    table fills (the non-'early change' convention GIF uses)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    dic = fresh()
+    width = mcs + 1
+    out = bytearray()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + width <= total_bits:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            dic, width, prev = fresh(), mcs + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dic):
+                raise ValueError("GIF: first LZW code not a literal")
+            entry = dic[code]
+        elif code < len(dic):
+            entry = dic[code]
+            dic.append(prev + entry[:1])
+        elif code == len(dic):                     # the KwKwK case
+            entry = prev + prev[:1]
+            dic.append(entry)
+        else:
+            raise ValueError("GIF: LZW code beyond table")
+        # the decoder's table lags the encoder by exactly one entry
+        # (the encoder registers a string one code before the decoder can
+        # reconstruct it), so the width bump fires at 2^width - 1 entries
+        if len(dic) + 1 == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_parse(b: bytes):
+    """Header + block walk. Returns (w, h, bg_index, global_palette,
+    frames) where each frame is (left, top, fw, fh, interlace,
+    local_palette, min_code_size, lzw_bytes); None if not GIF."""
+    import numpy as np
+    if len(b) < 13 or b[:6] not in _GIF_SIGS:
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        if pos + n * 3 > len(b):
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3).copy()
+        pos += n * 3
+    frames = []
+    while pos < len(b):
+        t = b[pos]
+        if t == 0x3B:                              # trailer
+            return w, h, bg, gct, frames
+        if t == 0x21:                              # extension + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif t == 0x2C:                            # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("GIF: truncated image descriptor")
+            left = int.from_bytes(b[pos + 1:pos + 3], "little")
+            top = int.from_bytes(b[pos + 3:pos + 5], "little")
+            fw = int.from_bytes(b[pos + 5:pos + 7], "little")
+            fh = int.from_bytes(b[pos + 7:pos + 9], "little")
+            fl = b[pos + 9]
+            pos += 10
+            lct = None
+            if fl & 0x80:
+                n = 2 ** ((fl & 7) + 1)
+                lct = np.frombuffer(b, np.uint8, n * 3, pos) \
+                    .reshape(n, 3).copy()
+                pos += n * 3
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            frames.append((left, top, fw, fh, bool(fl & 0x40), lct, mcs,
+                           bytes(data)))
+        else:
+            raise ValueError(f"GIF: unknown block 0x{t:02x}")
+    raise ValueError("GIF: missing trailer")
+
+
+def _gif_header(b: bytes):
+    """(width, height, n_frames) or None if not GIF bytes."""
+    parsed = _gif_parse(b)
+    if parsed is None:
+        return None
+    w, h, _, _, frames = parsed
+    return w, h, max(1, len(frames))
+
+
+def decode_gif_pixels(content: bytes):
+    """REAL GIF decode (pure-Python LZW + numpy): FIRST frame composited
+    onto the logical screen (background = palette[bg], other frames'
+    regions untouched; GCE transparency not applied to frame 0) ->
+    (h, w, 3) uint8 RGB. Raises ValueError on truncation/bad codes."""
+    import numpy as np
+    parsed = _gif_parse(content)
+    if parsed is None:
+        raise ValueError("decode_gif_pixels: not GIF bytes")
+    w, h, bg, gct, frames = parsed
+    if not frames:
+        raise ValueError("GIF: no image data")
+    left, top, fw, fh, interlace, lct, mcs, data = frames[0]
+    pal = lct if lct is not None else gct
+    if pal is None:
+        raise ValueError("GIF: frame without any color table")
+    idx = np.frombuffer(_gif_lzw_decode(data, mcs), dtype=np.uint8)
+    if idx.size < fw * fh:
+        raise ValueError("GIF: LZW output shorter than frame")
+    idx = idx[:fw * fh].reshape(fh, fw)
+    if interlace:                                  # 4-pass row shuffle
+        out = np.empty_like(idx)
+        order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                 + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+        out[np.array(order)] = idx
+        idx = out
+    if int(idx.max()) >= len(pal):
+        raise ValueError("GIF: palette index out of range")
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    canvas[top:top + fh, left:left + fw] = pal[idx]
+    return canvas
+
+
 def raw_decoder(content: bytes, modality: str) -> tuple:
     """REAL decoder, drop-in for the `decoder=` seam: (width, height,
     n_frames, sample_rate) from actual file headers. Supports netpbm P5/P6,
-    uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), and PCM WAV;
-    anything else raises ValueError (JPEG/MP4 need a codec-backed decoder
-    injected — this function never fakes)."""
+    uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), GIF
+    (pure-Python LZW; multi-frame GIFs report a REAL frame count for the
+    video path), and PCM WAV; anything else raises ValueError (JPEG/MP4
+    need a codec-backed decoder injected — this function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
         if ppm is not None:
@@ -443,6 +602,10 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
         if png is not None:
             w, h = png[0], png[1]
             return (w, h, 1 if modality == "video" else None, None)
+        gif = _gif_header(content)
+        if gif is not None:
+            w, h, nf = gif
+            return (w, h, nf if modality == "video" else None, None)
     elif modality == "audio":
         wav = _wav_header(content)
         if wav is not None:
@@ -453,7 +616,7 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
 
 
 def decode_raw_pixels(content: bytes):
-    """Pixel array (numpy uint8, H x W x 3 RGB) from PPM/PGM/BMP/PNG bytes."""
+    """Pixel array (uint8, H x W x 3 RGB) from PPM/PGM/BMP/PNG/GIF bytes."""
     import numpy as np
     ppm = _ppm_header(content)
     if ppm is not None:
@@ -475,7 +638,9 @@ def decode_raw_pixels(content: bytes):
         return img if top_down else img[::-1]      # bottom-up -> top-down
     if content.startswith(_PNG_SIG):
         return decode_png_pixels(content)
-    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP/PNG bytes")
+    if content[:6] in _GIF_SIGS:
+        return decode_gif_pixels(content)
+    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP/PNG/GIF bytes")
 
 
 def resize_nearest(img, target_w: int, target_h: int):
