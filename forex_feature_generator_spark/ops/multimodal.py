@@ -10,9 +10,14 @@ mapInPandas signatures) is real and tested. Decode comes in three tiers:
     the Python stdlib (`zlib`) with the scanline filters in pure numpy
     (decode_png_pixels); GIF's LZW is ~40 lines of pure Python
     (decode_gif_pixels), and multi-frame GIFs give the video path a real
-    frame count. Pixel-exact tests in tests/test_ops.py.
-  * INJECTABLE for the remaining compressed formats (JPEG/MP4/...): pass
-    any `decoder=` callable (a PIL/pyav/librosa implementation drops in).
+    frame count; baseline JPEG (ITU T.81 sequential DCT — the dominant
+    web-crawl image format) decodes via pure-Python Huffman entropy decode
+    + numpy dequantize/IDCT/chroma-upsample/YCbCr (decode_jpeg_pixels).
+    Pixel-exact tests in tests/test_ops.py.
+  * INJECTABLE for the remaining compressed formats (progressive JPEG,
+    MP4/...) — and as the FAST path for baseline JPEG at scale (the
+    no-deps entropy decoder is bit-by-bit Python): pass any `decoder=`
+    callable (a PIL/pyav/librosa implementation drops in).
   * STUBBED default otherwise — a deterministic fake keyed on the content
     hash (oracle-expressible), or NotImplementedError when `strict`.
 
@@ -582,13 +587,269 @@ def decode_gif_pixels(content: bytes):
     return canvas
 
 
+# ---- JPEG (round 6): baseline sequential DCT JPEG per the public ITU
+# T.81 spec — the dominant web-crawl image format. Everything needed is
+# pure Python + numpy: canonical Huffman entropy decode, dequantize +
+# de-zigzag, 8x8 IDCT as an orthogonal matrix sandwich, chroma upsample,
+# YCbCr->RGB. No codec library. The entropy loop is bit-by-bit Python, so
+# at scale the `decoder=` seam stays the fast path; this is the
+# correctness-first no-deps fallback (and the test oracle's target).
+
+_JPEG_SIG = b"\xff\xd8"
+
+
+def _make_zigzag():
+    """Flat (row-major) index of the k-th coefficient in JPEG zigzag
+    order: diagonals d=r+c, odd diagonals walk r ascending."""
+    import numpy as np
+    coords = sorted(((r, c) for r in range(8) for c in range(8)),
+                    key=lambda rc: (rc[0] + rc[1],
+                                    rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]))
+    return np.array([r * 8 + c for r, c in coords])
+
+
+def _dct_basis():
+    """Orthogonal 8x8 DCT-II basis A (A @ A.T = I): forward F = A f A^T,
+    inverse f = A^T F A."""
+    import numpy as np
+    x = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    A[0] /= np.sqrt(2)
+    return A
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; raises on any bare marker mid-symbol."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def _next_byte(self) -> int:
+        d = self.d
+        if self.pos >= len(d):
+            raise ValueError("JPEG: truncated entropy-coded segment")
+        x = d[self.pos]
+        self.pos += 1
+        if x == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("JPEG: truncated after 0xFF")
+            if d[self.pos] != 0x00:
+                raise ValueError("JPEG: marker inside entropy data")
+            self.pos += 1                          # stuffed zero
+        return x
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc, self.n = self._next_byte(), 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        d = self.d
+        if (self.pos + 1 >= len(d) or d[self.pos] != 0xFF
+                or d[self.pos + 1] != 0xD0 + (idx & 7)):
+            raise ValueError("JPEG: expected restart marker")
+        self.pos += 2
+
+
+def _huff_decode(br: "_JpegBits", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_header(b: bytes):
+    """(width, height) from the SOFn segment, or None if not JPEG."""
+    if not b.startswith(_JPEG_SIG):
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        m = b[pos + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            return None
+        seglen = int.from_bytes(b[pos + 2:pos + 4], "big")
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(b):
+                return None
+            return (int.from_bytes(b[pos + 7:pos + 9], "big"),
+                    int.from_bytes(b[pos + 5:pos + 7], "big"))
+        pos += 2 + seglen
+    return None
+
+
+def decode_jpeg_pixels(content: bytes):
+    """REAL baseline JPEG decode (pure Python + numpy, ITU T.81 sequential
+    DCT): Huffman entropy decode -> dequantize (zigzag-ordered DQT) ->
+    IDCT -> chroma upsample -> YCbCr->RGB, returning (h, w, 3) uint8.
+    Supports 1- and 3-component scans, arbitrary 1-2x sampling factors,
+    and DRI/RSTn restart intervals. Progressive (SOF2) and 12-bit streams
+    raise ValueError — inject a codec decoder for those."""
+    import numpy as np
+    if not content.startswith(_JPEG_SIG):
+        raise ValueError("decode_jpeg_pixels: not JPEG bytes")
+    qt, hdc, hac = {}, {}, {}
+    frame, ri, pos = None, 0, 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        m = content[pos + 1]
+        if m == 0xD9:
+            break
+        seglen = int.from_bytes(content[pos + 2:pos + 4], "big")
+        seg = content[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG: truncated segment")
+        if m == 0xDB:                              # DQT (zigzag order)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant table unsupported")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                i += 64
+        elif m == 0xC4:                            # DHT (canonical codes)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1:i + 17]
+                i += 17
+                tbl, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        tbl[(length, code)] = seg[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                (hdc if tc == 0 else hac)[th] = tbl
+        elif m in (0xC0, 0xC1):                    # SOF0/1 sequential
+            if seg[0] != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = [{"id": seg[6 + 3 * k], "h": seg[7 + 3 * k] >> 4,
+                      "v": seg[7 + 3 * k] & 15, "tq": seg[8 + 3 * k]}
+                     for k in range(seg[5])]
+            frame = (w, h, comps)
+        elif 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError("JPEG: only baseline sequential (SOF0/1) "
+                             "supported — inject a decoder for progressive")
+        elif m == 0xDD:                            # DRI
+            ri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:                            # SOS -> entropy data
+            scomps = [(seg[1 + 2 * k], seg[2 + 2 * k] >> 4,
+                       seg[2 + 2 * k] & 15) for k in range(seg[0])]
+            return _jpeg_scan(content, pos + 2 + seglen, frame, scomps,
+                              qt, hdc, hac, ri)
+        pos += 2 + seglen
+    raise ValueError("JPEG: no SOS segment found")
+
+
+def _jpeg_scan(b: bytes, pos: int, frame, scomps, qt, hdc, hac, ri: int):
+    """Decode one interleaved baseline scan into RGB pixels."""
+    import numpy as np
+    if frame is None:
+        raise ValueError("JPEG: SOS before SOF")
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scomps:
+        c = by_id[cs]
+        order.append((c, hdc[td], hac[ta], qt[c["tq"]]))
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+              for c, _, _, _ in order]
+    zz, A = _make_zigzag(), _dct_basis()
+    preds = [0] * len(order)
+    br = _JpegBits(b, pos)
+    mcu, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(order)
+            for ci, (c, tdc, tac, q) in enumerate(order):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64, np.int64)
+                        s = _huff_decode(br, tdc)
+                        preds[ci] += _extend(br.bits(s), s) if s else 0
+                        coefs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, tac)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:        # EOB
+                                    break
+                                k += 16            # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coefs[k] = _extend(br.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[zz] = coefs * q        # dequant + de-zigzag
+                        f = A.T @ blk.reshape(8, 8) @ A + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py:py + 8, px + 0:px + 8] = f
+            mcu += 1
+    full = []
+    for (c, _, _, _), pl in zip(order, planes):
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sy > 1 or sx > 1:
+            pl = np.kron(pl, np.ones((sy, sx)))
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise ValueError("JPEG: unsupported component count")
+    y, cb, cr = full
+    img = np.stack([y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0)], axis=2)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def raw_decoder(content: bytes, modality: str) -> tuple:
     """REAL decoder, drop-in for the `decoder=` seam: (width, height,
     n_frames, sample_rate) from actual file headers. Supports netpbm P5/P6,
     uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), GIF
     (pure-Python LZW; multi-frame GIFs report a REAL frame count for the
-    video path), and PCM WAV; anything else raises ValueError (JPEG/MP4
-    need a codec-backed decoder injected — this function never fakes)."""
+    video path), baseline JPEG (SOFn dimensions; pixels via
+    decode_jpeg_pixels), and PCM WAV; anything else raises ValueError
+    (MP4 / progressive JPEG need a codec-backed decoder injected — this
+    function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
         if ppm is not None:
@@ -606,6 +867,10 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
         if gif is not None:
             w, h, nf = gif
             return (w, h, nf if modality == "video" else None, None)
+        jpg = _jpeg_header(content)
+        if jpg is not None:
+            w, h = jpg
+            return (w, h, 1 if modality == "video" else None, None)
     elif modality == "audio":
         wav = _wav_header(content)
         if wav is not None:
@@ -640,7 +905,9 @@ def decode_raw_pixels(content: bytes):
         return decode_png_pixels(content)
     if content[:6] in _GIF_SIGS:
         return decode_gif_pixels(content)
-    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP/PNG/GIF bytes")
+    if content.startswith(_JPEG_SIG):
+        return decode_jpeg_pixels(content)
+    raise ValueError("decode_raw_pixels: not PPM/PGM/BMP/PNG/GIF/JPEG bytes")
 
 
 def resize_nearest(img, target_w: int, target_h: int):

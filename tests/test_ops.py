@@ -1076,6 +1076,237 @@ def test_gif_decode_roundtrip():
         MM.decode_gif_pixels(b[:-1])
 
 
+def _jpeg_canon(counts, symbols):
+    """Canonical Huffman code assignment (T.81 Annex C) for the in-test
+    JPEG encoder: symbol -> (code, length)."""
+    enc, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+# One DC table (all 12 size symbols at 4 bits; all-ones code unused, per
+# spec) and one AC table (EOB + ZRL + every (run,size) s=1..10 at 8 bits)
+# — the decoder reads whatever DHT declares, so simple tables are legal.
+_JT_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JT_DC_SYMS = list(range(12))
+_JT_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_JT_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+
+
+class _JpegBitW:
+    """MSB-first bit writer with 0xFF00 stuffing and 1-fill alignment."""
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_mag(v):
+    """(size, magnitude-bits) encoding of a coefficient value."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_bytes(img, subsample=False, ri=0, gray=False):
+    """Independent in-test baseline JPEG encoder: RGB->YCbCr, optional
+    4:2:0 box-average subsampling, non-constant zigzag-stored quant
+    tables, canonical-Huffman entropy coding with byte stuffing and
+    optional DRI/RSTn restarts. Returns (jpeg_bytes, expected_rgb) where
+    expected_rgb reconstructs through the SAME dequant/IDCT/upsample/
+    color math the decoder must perform."""
+    h, w, _ = img.shape
+    A, zz = MM._dct_basis(), MM._make_zigzag()
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    hv = 2 if subsample else 1
+    mcux, mcuy = -(-w // (8 * hv)), -(-h // (8 * hv))
+    # non-constant tables so a zigzag-order bug cannot cancel out
+    qy = (8 + (np.arange(8)[:, None] + np.arange(8)[None, :])).astype(np.int64)
+    qc = qy + 4
+
+    def pad(pl, ph, pw):
+        return np.pad(pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                      mode="edge")
+
+    yp = pad(y, mcuy * 8 * hv, mcux * 8 * hv)
+    if subsample:
+        cbp = pad(cb, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2,
+                                                    mcux * 8, 2).mean((1, 3))
+        crp = pad(cr, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2,
+                                                    mcux * 8, 2).mean((1, 3))
+    else:
+        cbp, crp = pad(cb, mcuy * 8, mcux * 8), pad(cr, mcuy * 8, mcux * 8)
+    comps = [(yp, hv, hv, qy)] if gray else \
+        [(yp, hv, hv, qy), (cbp, 1, 1, qc), (crp, 1, 1, qc)]
+
+    # quantize every block once (also drives the expected reconstruction)
+    qblocks = []
+    for pl, ch, cv, q in comps:
+        nby, nbx = pl.shape[0] // 8, pl.shape[1] // 8
+        blks = np.zeros((nby, nbx, 8, 8), np.int64)
+        for iy in range(nby):
+            for ix in range(nbx):
+                f = A @ (pl[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] - 128.0) @ A.T
+                blks[iy, ix] = np.round(f / q).astype(np.int64)
+        qblocks.append(blks)
+
+    dc_enc = _jpeg_canon(_JT_DC_COUNTS, _JT_DC_SYMS)
+    ac_enc = _jpeg_canon(_JT_AC_COUNTS, _JT_AC_SYMS)
+    bw = _JpegBitW()
+    preds = [0] * len(comps)
+    mcu, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, (pl, ch, cv, q) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = qblocks[ci][my * cv + by, mx * ch + bx]
+                        zc = blk.reshape(64)[zz]
+                        s, mag = _jpeg_mag(int(zc[0]) - preds[ci])
+                        preds[ci] = int(zc[0])
+                        bw.put(*dc_enc[s])
+                        if s:
+                            bw.put(mag, s)
+                        run = 0
+                        nz = np.nonzero(zc[1:])[0]
+                        last = nz[-1] + 1 if nz.size else 0
+                        for k in range(1, last + 1):
+                            if zc[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                bw.put(*ac_enc[0xF0])
+                                run -= 16
+                            s, mag = _jpeg_mag(int(zc[k]))
+                            bw.put(*ac_enc[(run << 4) | s])
+                            bw.put(mag, s)
+                            run = 0
+                        if last < 63:
+                            bw.put(*ac_enc[0x00])
+            mcu += 1
+    bw.align()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker])
+                   + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(qy.reshape(64)[zz].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[zz].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for k, (_, ch, cv, _) in enumerate(comps):
+        sof += bytes([k + 1, (ch << 4) | cv, 0 if k == 0 else 1])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + _JT_DC_COUNTS) + bytes(_JT_DC_SYMS))
+    seg(0xC4, bytes([0x10] + _JT_AC_COUNTS) + bytes(_JT_AC_SYMS))
+    if ri:
+        seg(0xDD, ri.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for k in range(ncomp):
+        sos += bytes([k + 1, 0x00])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bw.out + b"\xff\xd9"
+
+    # expected reconstruction: same dequant/IDCT/upsample/color math
+    recon = []
+    for (pl, ch, cv, q), blks in zip(comps, qblocks):
+        nby, nbx = blks.shape[:2]
+        rp = np.zeros((nby * 8, nbx * 8))
+        for iy in range(nby):
+            for ix in range(nbx):
+                rp[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] = \
+                    A.T @ (blks[iy, ix] * q).astype(np.float64) @ A + 128.0
+        sy, sx = hv // cv, hv // ch
+        if sy > 1 or sx > 1:
+            rp = np.kron(rp, np.ones((sy, sx)))
+        recon.append(rp[:h, :w])
+    if gray:
+        yo = np.clip(np.round(recon[0]), 0, 255).astype(np.uint8)
+        expected = np.repeat(yo[:, :, None], 3, axis=2)
+    else:
+        yo, cbo, cro = recon
+        rgb = np.stack([yo + 1.402 * (cro - 128.0),
+                        yo - 0.344136 * (cbo - 128.0)
+                        - 0.714136 * (cro - 128.0),
+                        yo + 1.772 * (cbo - 128.0)], axis=2)
+        expected = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return bytes(out), expected
+
+
+def test_jpeg_decode_roundtrip():
+    """REAL baseline JPEG decode vs an independent in-test T.81 encoder:
+    pixel-exact against the encoder's own dequantized reconstruction for
+    4:4:4, 4:2:0 (chroma box-subsampling + kron upsample), grayscale,
+    and restart-interval streams; header path; honest rejection of
+    truncation and progressive (SOF2) scans."""
+    rng = np.random.default_rng(21)
+    # smooth gradient + noise: exercises DC prediction AND long AC runs
+    gy, gx = np.mgrid[0:33, 0:46]
+    base = (gy * 3 + gx * 2) % 256
+    img = np.clip(base[:, :, None]
+                  + rng.integers(-25, 25, size=(33, 46, 3)), 0, 255) \
+        .astype(np.uint8)
+    b444, exp444 = _jpeg_bytes(img)
+    got = MM.decode_jpeg_pixels(b444)
+    assert got.shape == exp444.shape
+    assert int(np.abs(got.astype(int) - exp444.astype(int)).max()) <= 1
+    # the lossy encode stays recognizable (sanity vs the SOURCE image)
+    assert float(np.abs(got.astype(float) - img.astype(float)).mean()) < 12
+    assert MM.raw_decoder(b444, "image") == (46, 33, None, None)
+    assert MM.raw_decoder(b444, "video") == (46, 33, 1, None)
+    # dispatch through the generic pixel path
+    assert (MM.decode_raw_pixels(b444) == got).all()
+    # 4:2:0 subsampled (2x2 luma sampling, kron chroma upsample)
+    b420, exp420 = _jpeg_bytes(img, subsample=True)
+    got420 = MM.decode_jpeg_pixels(b420)
+    assert int(np.abs(got420.astype(int) - exp420.astype(int)).max()) <= 1
+    # grayscale single-component scan
+    bg, expg = _jpeg_bytes(img, gray=True)
+    gotg = MM.decode_jpeg_pixels(bg)
+    assert int(np.abs(gotg.astype(int) - expg.astype(int)).max()) <= 1
+    # restart markers: DRI + RSTn sync + DC predictor reset
+    br_, expr = _jpeg_bytes(img, ri=2)
+    gotr = MM.decode_jpeg_pixels(br_)
+    assert int(np.abs(gotr.astype(int) - expr.astype(int)).max()) <= 1
+    # truncation -> honest error, never a wrong image
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(b444[:len(b444) // 2])
+    # progressive (SOF2) is out of scope -> honest error
+    prog = b444.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(prog)
+
+
 def test_ppm_crlf_header_and_truncation():
     """Round-5 advice: a netpbm header written with CRLF line endings must
     not leave the '\\n' inside the pixel data (every pixel shifts by one
