@@ -286,6 +286,114 @@ def _wav_header(b: bytes):
     return sample_rate, n_channels
 
 
+# ---- MP4/M4A container + MP3 frame header (round 6): REAL metadata
+# extraction without any codec decode — exactly the tier WAV already has.
+# The ISO BMFF box layout (ftyp/moov/trak/tkhd/mdia/mdhd/minf/stbl/stsz)
+# and the MPEG audio frame header are public specs; dimensions, frame
+# counts, and sample rates come from the actual container, while the
+# compressed PAYLOAD (H.264/AAC/MP3 audio data) stays behind `decoder=`.
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) walking one container
+    level, handling 64-bit largesize boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos:pos + 4], "big")
+        btype = b[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                              # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize box")
+            size = int.from_bytes(b[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:                            # box extends to end
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("MP4: bad box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_header(b: bytes):
+    """(width, height, n_frames, sample_rate) from a real ISO BMFF box
+    walk, or None if not an MP4/M4A container. Video track: tkhd 16.16
+    fixed-point dimensions + stsz sample count (the REAL frame count).
+    Audio-only: mdhd timescale as the sample rate."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    w = h = frames = rate = None
+    try:
+        for t, s, e in _mp4_boxes(b, 0, len(b)):
+            if t != b"moov":
+                continue
+            for tt, ts, te in _mp4_boxes(b, s, e):
+                if tt != b"trak":
+                    continue
+                tw = th = tframes = trate = None
+                handler = b""
+                for mt, ms, me in _mp4_boxes(b, ts, te):
+                    if mt == b"tkhd":
+                        ver = b[ms]
+                        off = ms + (96 if ver == 1 else 84)
+                        if off <= me:              # width/height end here
+                            tw = int.from_bytes(b[off - 8:off - 4],
+                                                "big") >> 16
+                            th = int.from_bytes(b[off - 4:off], "big") >> 16
+                    elif mt == b"mdia":
+                        for dt, ds, de in _mp4_boxes(b, ms, me):
+                            if dt == b"mdhd" and de - ds >= 20:
+                                ver = b[ds]
+                                trate = int.from_bytes(
+                                    b[ds + (20 if ver == 1 else 12):
+                                      ds + (24 if ver == 1 else 16)], "big")
+                            elif dt == b"hdlr" and de - ds >= 12:
+                                handler = b[ds + 8:ds + 12]
+                            elif dt == b"minf":
+                                for ft, fs, fe in _mp4_boxes(b, ds, de):
+                                    if ft != b"stbl":
+                                        continue
+                                    for bt, bs, be in _mp4_boxes(b, fs, fe):
+                                        if bt == b"stsz" and be - bs >= 12:
+                                            tframes = int.from_bytes(
+                                                b[bs + 8:bs + 12], "big")
+                if tw:                             # a video track wins
+                    w, h, frames = tw, th, tframes
+                elif handler == b"soun" and trate:
+                    rate = trate
+    except ValueError:
+        return None
+    if w is None and rate is None:
+        return None
+    return w, h, frames, rate
+
+
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}       # MPEG-1; halved for v2
+
+
+def _mp3_header(b: bytes):
+    """(sample_rate,) from the first MPEG audio frame sync (skipping an
+    ID3v2 tag if present), or None. Payload decode stays injectable."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) > 10:            # syncsafe tag length
+        pos = 10 + ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                    | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+    if pos + 4 > len(b) or b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[pos + 1] >> 3) & 3                # 3=MPEG1, 2=MPEG2, 0=2.5
+    layer = (b[pos + 1] >> 1) & 3
+    rate_i = (b[pos + 2] >> 2) & 3
+    if layer == 0 or rate_i == 3 or version == 1:
+        return None
+    rate = _MP3_RATES.get(rate_i)
+    if rate is None:
+        return None
+    if version == 2:
+        rate //= 2
+    elif version == 0:
+        rate //= 4
+    return (rate,)
+
+
 # ---- PNG (round 6): the one compressed format whose codec is in the
 # Python STDLIB — PNG's IDAT stream is DEFLATE (zlib) and its per-scanline
 # prediction filters are spec'd in RFC 2083 §6; both are public knowledge
@@ -847,9 +955,12 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
     uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), GIF
     (pure-Python LZW; multi-frame GIFs report a REAL frame count for the
     video path), baseline JPEG (SOFn dimensions; pixels via
-    decode_jpeg_pixels), and PCM WAV; anything else raises ValueError
-    (MP4 / progressive JPEG need a codec-backed decoder injected — this
-    function never fakes)."""
+    decode_jpeg_pixels), MP4/M4A containers (real ISO BMFF box walk:
+    tkhd dimensions, stsz frame count, audio-track mdhd sample rate),
+    MP3 frame headers (sample rate, ID3v2-aware), and PCM WAV; anything
+    else raises ValueError (compressed AV payloads — H.264/AAC/MP3
+    frames, progressive JPEG — need a codec-backed decoder injected;
+    this function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
         if ppm is not None:
@@ -871,10 +982,20 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
         if jpg is not None:
             w, h = jpg
             return (w, h, 1 if modality == "video" else None, None)
+        mp4 = _mp4_header(content)
+        if mp4 is not None and mp4[0] is not None:
+            w, h, nf, _ = mp4
+            return (w, h, nf if modality == "video" else None, None)
     elif modality == "audio":
         wav = _wav_header(content)
         if wav is not None:
             return (None, None, None, wav[0])
+        mp4 = _mp4_header(content)                 # M4A audio container
+        if mp4 is not None and mp4[3] is not None:
+            return (None, None, None, mp4[3])
+        mp3 = _mp3_header(content)
+        if mp3 is not None:
+            return (None, None, None, mp3[0])
     raise ValueError(
         f"raw_decoder: unrecognized/compressed {modality} bytes — inject a "
         "codec-backed decoder via decoder= for this format")

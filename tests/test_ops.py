@@ -1307,6 +1307,75 @@ def test_jpeg_decode_roundtrip():
         MM.decode_jpeg_pixels(prog)
 
 
+def _box(btype, payload):
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_bytes(w=None, h=None, n_frames=None, audio_rate=None,
+               largesize=False, tkhd_v1=False):
+    """Minimal-but-real ISO BMFF container for the header-walk tests:
+    ftyp + moov(trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsz)))))."""
+    traks = b""
+    if w is not None:
+        tk = (bytes([1]) + b"\x00" * 3 + b"\x00" * 32 if tkhd_v1
+              else bytes([0]) + b"\x00" * 3 + b"\x00" * 20)
+        tk += b"\x00" * 52                          # reserved+matrix etc
+        tk += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        stsz = _box(b"stsz", b"\x00" * 8 + n_frames.to_bytes(4, "big"))
+        mdhd = _box(b"mdhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+                    + b"\x00" * 4)
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        mdia = _box(b"mdia", mdhd + hdlr
+                    + _box(b"minf", _box(b"stbl", stsz)))
+        traks += _box(b"trak", _box(b"tkhd", tk) + mdia)
+    if audio_rate is not None:
+        tk = bytes([0]) + b"\x00" * 3 + b"\x00" * 20 + b"\x00" * 52 \
+            + b"\x00" * 8                           # zero width/height
+        mdhd = _box(b"mdhd", b"\x00" * 12 + audio_rate.to_bytes(4, "big")
+                    + b"\x00" * 4)
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+        stsz = _box(b"stsz", b"\x00" * 8 + (100).to_bytes(4, "big"))
+        mdia = mdhd + hdlr + _box(b"minf", _box(b"stbl", stsz))
+        traks += _box(b"trak", _box(b"tkhd", tk) + _box(b"mdia", mdia))
+    moov = _box(b"moov", traks)
+    if largesize:                                   # 64-bit box size path
+        moov = (1).to_bytes(4, "big") + b"moov" \
+            + (len(traks) + 16).to_bytes(8, "big") + traks
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_mp3_container_headers():
+    """REAL MP4/M4A box-walk metadata (round 6): tkhd 16.16 dimensions,
+    stsz sample count as the video frame count, audio-track mdhd
+    timescale as the sample rate (hdlr-gated so non-sound tracks never
+    leak a fake rate), 64-bit largesize boxes, and ID3v2-aware MP3 frame
+    sync. Payload decode stays behind the decoder= seam."""
+    v = _mp4_bytes(w=640, h=360, n_frames=240)
+    assert MM.raw_decoder(v, "video") == (640, 360, 240, None)
+    assert MM.raw_decoder(v, "image") == (640, 360, None, None)
+    v1 = _mp4_bytes(w=1920, h=1080, n_frames=48, tkhd_v1=True,
+                    largesize=True)
+    assert MM.raw_decoder(v1, "video") == (1920, 1080, 48, None)
+    a = _mp4_bytes(audio_rate=44100)
+    assert MM.raw_decoder(a, "audio") == (None, None, None, 44100)
+    # video track wins for video modality even with an audio track present
+    both = _mp4_bytes(w=320, h=240, n_frames=10, audio_rate=48000)
+    assert MM.raw_decoder(both, "video") == (320, 240, 10, None)
+    assert MM.raw_decoder(both, "audio") == (None, None, None, 48000)
+    # MP3: MPEG-1 Layer III 44.1 kHz behind a 17-byte ID3v2 tag
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x07" + b"\x00" * 7
+    mp3 = id3 + bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+    assert MM.raw_decoder(mp3, "audio") == (None, None, None, 44100)
+    # MPEG-2 (22.05 kHz) without a tag
+    mp3v2 = bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\x00" * 32
+    assert MM.raw_decoder(mp3v2, "audio") == (None, None, None, 22050)
+    # honest rejection: truncated box sizes never return garbage
+    with pytest.raises(ValueError):
+        MM.raw_decoder(v[:30], "video")
+    with pytest.raises(ValueError):
+        MM.raw_decoder(b"\x00\x00\x00\x08ftypx", "video")
+
+
 def test_ppm_crlf_header_and_truncation():
     """Round-5 advice: a netpbm header written with CRLF line endings must
     not leave the '\\n' inside the pixel data (every pixel shifts by one
