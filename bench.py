@@ -522,7 +522,7 @@ def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
         ratios[name] = round(r, 3)
         if r > QUERY_REGRESSION_FLAG:
             regressed.append(name)
-    return {
+    out = {
         "queries_vs_prev": ratios,
         "queries_regressed": sorted(regressed),
         "queries_new_vs_prev": sorted(new),
@@ -533,6 +533,23 @@ def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
             + ("" if anchored
                else " (RAW seconds ratio — anchor missing in one run)")),
     }
+    if "ops caches released" not in (prev.get("queries_protocol") or ""):
+        out["queries_regressed_note"] = (
+            "prior-round table predates the cache-hygiene protocol change: "
+            "round 5 ran the whole suite in one session with no "
+            "release_all, so persisted intermediates accumulated and "
+            "Spark's cache manager substituted matching PLAN FRAGMENTS "
+            "across queries and trials (e.g. q15's persisted shingles "
+            "fragment fed q33/q45's identical shingle subplan) — prior "
+            "medians for shingle/persist-sharing queries are cache-HIT "
+            "costs. This round isolates every execution (release between "
+            "trials) and records true cold-cache cost. Verified empirically "
+            "(BENCH/BASELINE.md round 6): q33 cold is ~4.6s under BOTH "
+            "protocols once nothing else shares the cache, and the q45 "
+            "hash-keyed join A/Bs dead even with the old string join "
+            "(11.1s vs 11.2s cold) — no code regression. Next round's "
+            "diff is like-for-like.")
+    return out
 
 
 # wall-clock reserved at the end of the matrix phase for the query suite +
