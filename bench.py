@@ -78,6 +78,13 @@ HEADLINE = ["q01_tumbling_ohlc", "q04_rolling", "q05_sessionize",
 # seconds first, so host-speed drift between rounds cancels.
 PREV_QUERY_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "round5_bench_run1.json")
+# Newest in-repo table recorded under the SAME cache-isolation protocol
+# (round 6 run 1). The r5 table predates the release-between-executions
+# change, so its shingle/persist-sharing medians are cache-HIT costs and
+# the r5 diff needs the explanatory note; this one is like-for-like.
+SAMEPROTO_QUERY_TABLE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "BENCH", "round6_bench_run1.json")
 QUERY_REGRESSION_FLAG = 1.5
 
 
@@ -496,16 +503,16 @@ def bench_tokens(spark) -> dict:
     }
 
 
-def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
-    """Round-5 task 2: anchored per-query regression table vs the prior
-    round. ratio = (q_now / anchor_now) / (q_prev / anchor_prev) — each
-    round's per-query median divides by its OWN run's anchor-job seconds
-    first, so the host's demonstrated 2-3x speed drift between rounds
-    cancels; > 1 means slower than last round, flagged above
-    QUERY_REGRESSION_FLAG. Falls back to the raw seconds ratio (noted in
-    the protocol string) when either run lacks an anchor."""
+def _diff_vs_table(queries: dict, anchor_sec, table_path: str,
+                   key_prefix: str) -> dict | None:
+    """Anchored per-query diff vs one recorded table.
+    ratio = (q_now / anchor_now) / (q_prev / anchor_prev) — each run's
+    per-query median divides by its OWN run's anchor-job seconds first, so
+    the host's demonstrated 2-3x speed drift between rounds cancels; > 1
+    means slower than the recorded run, flagged above QUERY_REGRESSION_FLAG.
+    Falls back to the raw seconds ratio (noted) when an anchor is missing."""
     try:
-        with open(PREV_QUERY_TABLE) as f:
+        with open(table_path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
         return None
@@ -522,18 +529,44 @@ def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
         ratios[name] = round(r, 3)
         if r > QUERY_REGRESSION_FLAG:
             regressed.append(name)
-    out = {
-        "queries_vs_prev": ratios,
-        "queries_regressed": sorted(regressed),
-        "queries_new_vs_prev": sorted(new),
-        "queries_vs_prev_protocol": (
+    return {
+        key_prefix: ratios,
+        key_prefix.replace("_vs_", "_regressed_vs_"): sorted(regressed),
+        key_prefix + "_new": sorted(new),
+        key_prefix + "_protocol": (
             "per-query median normalized by in-run anchor_job.sec, vs the "
-            f"same-anchored table in {os.path.basename(PREV_QUERY_TABLE)}; "
-            f">1 = slower than prior round, flagged > {QUERY_REGRESSION_FLAG}"
+            f"same-anchored table in {os.path.basename(table_path)}; "
+            f">1 = slower, flagged > {QUERY_REGRESSION_FLAG}"
             + ("" if anchored
                else " (RAW seconds ratio — anchor missing in one run)")),
+        "_prev_protocol_str": prev.get("queries_protocol") or "",
     }
-    if "ops caches released" not in (prev.get("queries_protocol") or ""):
+
+
+def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
+    """Round-5 task 2: anchored per-query regression table vs the prior
+    round (r5), PLUS — when `SAMEPROTO_QUERY_TABLE` exists — a second
+    like-for-like table vs the newest run recorded under this round's
+    cache-isolation protocol (the r5 table's medians for persist-sharing
+    queries are cache-HIT costs, see queries_regressed_note)."""
+    d = _diff_vs_table(queries, anchor_sec, PREV_QUERY_TABLE,
+                       "queries_vs_prev")
+    if d is None:
+        return None
+    prev_protocol = d.pop("_prev_protocol_str")
+    out = {
+        "queries_vs_prev": d["queries_vs_prev"],
+        "queries_regressed": d["queries_regressed_vs_prev"],
+        "queries_new_vs_prev": d["queries_vs_prev_new"],
+        "queries_vs_prev_protocol": d["queries_vs_prev_protocol"].replace(
+            ">1 = slower", ">1 = slower than prior round"),
+    }
+    same = _diff_vs_table(queries, anchor_sec, SAMEPROTO_QUERY_TABLE,
+                          "queries_vs_sameprotocol")
+    if same is not None and "ops caches released" in same.pop(
+            "_prev_protocol_str"):
+        out.update(same)
+    if "ops caches released" not in prev_protocol:
         out["queries_regressed_note"] = (
             "prior-round table predates the cache-hygiene protocol change: "
             "round 5 ran the whole suite in one session with no "
