@@ -10,14 +10,20 @@ mapInPandas signatures) is real and tested. Decode comes in three tiers:
     the Python stdlib (`zlib`) with the scanline filters in pure numpy
     (decode_png_pixels); GIF's LZW is ~40 lines of pure Python
     (decode_gif_pixels), and multi-frame GIFs give the video path a real
-    frame count; baseline JPEG (ITU T.81 sequential DCT — the dominant
-    web-crawl image format) decodes via pure-Python Huffman entropy decode
-    + numpy dequantize/IDCT/chroma-upsample/YCbCr (decode_jpeg_pixels).
-    Pixel-exact tests in tests/test_ops.py.
-  * INJECTABLE for the remaining compressed formats (progressive JPEG,
-    MP4/...) — and as the FAST path for baseline JPEG at scale (the
-    no-deps entropy decoder is bit-by-bit Python): pass any `decoder=`
-    callable (a PIL/pyav/librosa implementation drops in).
+    frame count; JPEG — both baseline sequential (ITU T.81, the dominant
+    web-crawl image format) AND progressive (SOF2, Annex G spectral
+    selection + successive approximation, the majority variant for large
+    web JPEGs) — decodes via pure-Python Huffman entropy decode + numpy
+    dequantize/IDCT/chroma-upsample/YCbCr (decode_jpeg_pixels). AUDIO
+    payloads decode for real too (decode_wav_samples + audio_stats_raw):
+    linear PCM 8/16-bit, IEEE float32, the G.711 companding pair
+    (mu-law/A-law — COMPRESSED telephony codecs, pure bit algebra), and
+    IMA/DVI ADPCM (step-adaptive 4-bit differential coding).
+    Pixel-exact and sample-exact tests in tests/test_ops.py.
+  * INJECTABLE for the remaining compressed formats (H.264/AAC/MP3
+    payloads, 12-bit/arithmetic JPEG) — and as the FAST path for JPEG at
+    scale (the no-deps entropy decoder is bit-by-bit Python): pass any
+    `decoder=` callable (a PIL/pyav/librosa implementation drops in).
   * STUBBED default otherwise — a deterministic fake keyed on the content
     hash (oracle-expressible), or NotImplementedError when `strict`.
 
@@ -34,8 +40,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 ASSET_SCHEMA = StructType([
     StructField("asset_id", StringType()),
@@ -276,14 +282,194 @@ def _bmp_header(b: bytes):
     return w, abs(h), h < 0, pixel_off
 
 
+def _wav_chunks(b: bytes):
+    """Walk the RIFF chunk list of a WAVE file, yielding
+    (fourcc, body_start, body_len). Chunks are word-aligned (odd sizes
+    carry a pad byte, per the RIFF spec)."""
+    pos = 12
+    n = len(b)
+    while pos + 8 <= n:
+        cc = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        yield cc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
 def _wav_header(b: bytes):
-    """PCM RIFF/WAVE. Returns (sample_rate, n_channels) or None."""
+    """RIFF/WAVE via a REAL chunk walk (the fmt chunk need not sit at the
+    canonical offset 12 — LIST/INFO or fact chunks may precede it).
+    Returns (sample_rate, n_channels) or None."""
     import struct
-    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
-    n_channels = struct.unpack_from("<H", b, 22)[0]
-    sample_rate = struct.unpack_from("<I", b, 24)[0]
-    return sample_rate, n_channels
+    for cc, off, size in _wav_chunks(b):
+        if cc == b"fmt " and size >= 16 and off + 16 <= len(b):
+            n_channels = struct.unpack_from("<H", b, off + 2)[0]
+            sample_rate = struct.unpack_from("<I", b, off + 4)[0]
+            return sample_rate, n_channels
+    return None
+
+
+# ---- WAV sample decode (round 6): REAL payload decode for the audio
+# codecs that need no external library — linear PCM (8/16-bit and IEEE
+# float), the G.711 companding pair (mu-law format 7, A-law format 6 —
+# pure bit algebra from the public spec), and IMA/DVI ADPCM (format 0x11
+# — the step-size-adapted 4-bit differential codec, block-structured per
+# the WAV mapping). Everything is vectorized numpy except the inherently
+# sequential ADPCM predictor recurrence (per-block Python loop over
+# nibbles). Compressed psychoacoustic payloads (MP3/AAC) stay behind
+# `decoder=`.
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+
+def _mulaw_expand(u):
+    """G.711 mu-law byte -> int16 (vectorized; the public expansion
+    formula, 16-bit-aligned output in +-32124)."""
+    import numpy as np
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -x, x).astype(np.int16)
+
+
+def _alaw_expand(a):
+    """G.711 A-law byte -> int16 (vectorized, +-32256). Per the CCITT
+    reference, bit 7 AFTER the 0x55 toggle is SET for positive values
+    (the opposite of mu-law's post-complement convention)."""
+    import numpy as np
+    a = a.astype(np.int64) ^ 0x55
+    pos = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    x = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(pos, x, -x).astype(np.int16)
+
+
+def _ima_decode_block(data: bytes, n_channels: int, spb: int):
+    """One IMA ADPCM WAV block -> (spb, n_channels) int16. Block layout
+    per the public WAV mapping: a 4-byte header per channel (int16
+    predictor = first output sample, uint8 step index, reserved), then
+    4-byte nibble groups interleaved channel-major."""
+    import numpy as np
+    out = np.zeros((spb, n_channels), np.int16)
+    preds, idxs = [], []
+    for c in range(n_channels):
+        off = 4 * c
+        preds.append(int.from_bytes(data[off:off + 2], "little",
+                                    signed=True))
+        idxs.append(min(max(data[off + 2], 0), 88))
+        out[0, c] = preds[c]
+    pos = 4 * n_channels
+    si = 1                                         # next output sample
+    while si < spb and pos < len(data):
+        for c in range(n_channels):
+            group = data[pos:pos + 4]
+            pos += 4
+            pred, idx = preds[c], idxs[c]
+            s = si
+            for byte in group:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEP_TABLE[idx]
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+                    if s < spb:
+                        out[s, c] = pred
+                    s += 1
+            preds[c], idxs[c] = pred, idx
+        si += 8
+    return out
+
+
+def decode_wav_samples(content: bytes):
+    """REAL WAV payload decode -> (samples int16 (n, channels),
+    sample_rate). Formats: 1 = linear PCM (8-bit unsigned / 16-bit LE /
+    24-bit LE truncated to the top 16), 3 = IEEE float32 (scaled+clipped
+    to int16), 6 = G.711 A-law, 7 = G.711 mu-law, 0x11 = IMA/DVI ADPCM
+    (mono or stereo, any block_align). Anything else (MP3-in-WAV, ...)
+    raises ValueError — inject a codec-backed decoder for those."""
+    import struct
+
+    import numpy as np
+    if len(content) < 20 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        raise ValueError("decode_wav_samples: not RIFF/WAVE bytes")
+    fmt = data = None
+    for cc, off, size in _wav_chunks(content):
+        body = content[off:off + size]
+        if cc == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cc == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    (tag, ch, rate, _brate, balign, bits) = struct.unpack_from("<HHIIHH",
+                                                               fmt, 0)
+    if ch < 1:
+        raise ValueError("WAV: zero channels")
+    if tag == 1 and bits == 16:
+        n = len(data) // (2 * ch)
+        s = np.frombuffer(data, np.int16, n * ch).reshape(n, ch)
+        return s.copy(), rate
+    if tag == 1 and bits == 8:                     # 8-bit PCM is unsigned
+        n = len(data) // ch
+        u = np.frombuffer(data, np.uint8, n * ch).reshape(n, ch)
+        return ((u.astype(np.int16) - 128) << 8), rate
+    if tag == 1 and bits == 24:                    # 24-bit LE -> top 16
+        n = len(data) // (3 * ch)
+        raw = np.frombuffer(data, np.uint8, n * ch * 3).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | raw[:, 1].astype(np.int32) << 8
+             | raw[:, 2].astype(np.int32) << 16)
+        v = (v ^ 0x800000) - 0x800000              # sign-extend bit 23
+        return (v >> 8).astype(np.int16).reshape(n, ch), rate
+    if tag == 3 and bits == 32:
+        n = len(data) // (4 * ch)
+        f = np.frombuffer(data, "<f4", n * ch).reshape(n, ch)
+        return np.clip(np.round(f * 32767.0), -32768, 32767) \
+            .astype(np.int16), rate
+    if tag == 7 and bits == 8:                     # G.711 mu-law
+        n = len(data) // ch
+        u = np.frombuffer(data, np.uint8, n * ch).reshape(n, ch)
+        return _mulaw_expand(u), rate
+    if tag == 6 and bits == 8:                     # G.711 A-law
+        n = len(data) // ch
+        a = np.frombuffer(data, np.uint8, n * ch).reshape(n, ch)
+        return _alaw_expand(a), rate
+    if tag == 0x11 and bits == 4:                  # IMA/DVI ADPCM
+        if balign < 4 * ch:
+            raise ValueError("WAV: bad ADPCM block align")
+        spb = (balign - 4 * ch) * 2 // ch + 1      # samples per block
+        blocks = []
+        for boff in range(0, len(data) - (4 * ch) + 1, balign):
+            blocks.append(_ima_decode_block(data[boff:boff + balign],
+                                            ch, spb))
+        if not blocks:
+            return np.zeros((0, ch), np.int16), rate
+        return np.concatenate(blocks, axis=0), rate
+    raise ValueError(
+        f"WAV: format tag {tag}/{bits}-bit needs a codec-backed decoder "
+        "injected via decoder=")
 
 
 # ---- MP4/M4A container + MP3 frame header (round 6): REAL metadata
@@ -760,9 +946,14 @@ class _JpegBits:
         return v
 
     def sync_restart(self, idx: int) -> None:
-        """Byte-align and consume the expected RSTn marker."""
+        """Byte-align and consume the expected RSTn marker, skipping any
+        stuffed 0xFF00 pairs or 0xFF fill bytes the encoder's 1-fill
+        alignment may have produced before it."""
         self.n = 0
         d = self.d
+        while (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+               and d[self.pos + 1] in (0x00, 0xFF)):
+            self.pos += 2 if d[self.pos + 1] == 0x00 else 1
         if (self.pos + 1 >= len(d) or d[self.pos] != 0xFF
                 or d[self.pos + 1] != 0xD0 + (idx & 7)):
             raise ValueError("JPEG: expected restart marker")
@@ -809,23 +1000,32 @@ def _jpeg_header(b: bytes):
 
 
 def decode_jpeg_pixels(content: bytes):
-    """REAL baseline JPEG decode (pure Python + numpy, ITU T.81 sequential
-    DCT): Huffman entropy decode -> dequantize (zigzag-ordered DQT) ->
-    IDCT -> chroma upsample -> YCbCr->RGB, returning (h, w, 3) uint8.
-    Supports 1- and 3-component scans, arbitrary 1-2x sampling factors,
-    and DRI/RSTn restart intervals. Progressive (SOF2) and 12-bit streams
-    raise ValueError — inject a codec decoder for those."""
+    """REAL JPEG decode (pure Python + numpy, ITU T.81): Huffman entropy
+    decode -> dequantize (zigzag-ordered DQT) -> IDCT -> chroma upsample ->
+    YCbCr->RGB, returning (h, w, 3) uint8. Supports baseline sequential
+    (SOF0/1: one interleaved DC+AC scan) AND progressive (SOF2: multi-scan
+    spectral selection + successive approximation per T.81 Annex G —
+    EOB-run coding, AC refinement correction bits, non-interleaved
+    per-component scan geometry), 1- and 3-component frames, arbitrary
+    1-2x sampling factors, and DRI/RSTn restart intervals. 12-bit,
+    arithmetic-coded, and lossless/hierarchical streams raise ValueError —
+    inject a codec decoder for those."""
     import numpy as np
     if not content.startswith(_JPEG_SIG):
         raise ValueError("decode_jpeg_pixels: not JPEG bytes")
     qt, hdc, hac = {}, {}, {}
     frame, ri, pos = None, 0, 2
-    while pos + 4 <= len(content):
+    prog, coefs = False, None
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
         m = content[pos + 1]
-        if m == 0xD9:
+        if m == 0xD9:                              # EOI
+            if prog and coefs is not None:
+                return _jpeg_reconstruct(frame, coefs, qt)
             break
+        if pos + 4 > len(content):
+            raise ValueError("JPEG: truncated segment header")
         seglen = int.from_bytes(content[pos + 2:pos + 4], "big")
         seg = content[pos + 4:pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -853,7 +1053,7 @@ def decode_jpeg_pixels(content: bytes):
                         code += 1
                     code <<= 1
                 (hdc if tc == 0 else hac)[th] = tbl
-        elif m in (0xC0, 0xC1):                    # SOF0/1 sequential
+        elif m in (0xC0, 0xC1, 0xC2):              # SOF0/1 seq, SOF2 prog
             if seg[0] != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -862,17 +1062,40 @@ def decode_jpeg_pixels(content: bytes):
                       "v": seg[7 + 3 * k] & 15, "tq": seg[8 + 3 * k]}
                      for k in range(seg[5])]
             frame = (w, h, comps)
+            prog = m == 0xC2
         elif 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            raise ValueError("JPEG: only baseline sequential (SOF0/1) "
-                             "supported — inject a decoder for progressive")
+            raise ValueError("JPEG: only sequential (SOF0/1) and "
+                             "progressive (SOF2) Huffman streams supported "
+                             "— inject a decoder for this SOF type")
         elif m == 0xDD:                            # DRI
             ri = int.from_bytes(seg[:2], "big")
         elif m == 0xDA:                            # SOS -> entropy data
+            ns = seg[0]
             scomps = [(seg[1 + 2 * k], seg[2 + 2 * k] >> 4,
-                       seg[2 + 2 * k] & 15) for k in range(seg[0])]
-            return _jpeg_scan(content, pos + 2 + seglen, frame, scomps,
-                              qt, hdc, hac, ri)
+                       seg[2 + 2 * k] & 15) for k in range(ns)]
+            if not prog:
+                return _jpeg_scan(content, pos + 2 + seglen, frame, scomps,
+                                  qt, hdc, hac, ri)
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            if coefs is None:
+                w_, h_, comps_ = frame
+                hmax = max(c["h"] for c in comps_)
+                vmax = max(c["v"] for c in comps_)
+                mcux = -(-w_ // (8 * hmax))
+                mcuy = -(-h_ // (8 * vmax))
+                coefs = {c["id"]: np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps_}
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _jpeg_prog_scan(content, pos + 2 + seglen, frame, scomps,
+                                  coefs, hdc, hac, ri, ss, se,
+                                  ahal >> 4, ahal & 15)
+            continue
         pos += 2 + seglen
+    if prog and coefs is not None:
+        raise ValueError("JPEG: progressive stream truncated before EOI")
     raise ValueError("JPEG: no SOS segment found")
 
 
@@ -937,6 +1160,13 @@ def _jpeg_scan(b: bytes, pos: int, frame, scomps, qt, hdc, hac, ri: int):
         if sy > 1 or sx > 1:
             pl = np.kron(pl, np.ones((sy, sx)))
         full.append(pl[:h, :w])
+    return _jpeg_color(full)
+
+
+def _jpeg_color(full):
+    """Shared YCbCr->RGB (or grayscale replicate) tail: `full` is a list of
+    1 or 3 float planes already upsampled and cropped to (h, w)."""
+    import numpy as np
     if len(full) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
@@ -949,18 +1179,222 @@ def _jpeg_scan(b: bytes, pos: int, frame, scomps, qt, hdc, hac, ri: int):
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
+def _comp_blocks(w: int, h: int, c: dict, hmax: int, vmax: int):
+    """(nbx, nby) block dims of one component for NON-interleaved scans
+    (T.81 A.1.1: ceil of the downsampled component dims / 8 — NOT padded
+    to the MCU grid, unlike interleaved scans)."""
+    cw = -(-(w * c["h"]) // hmax)
+    chh = -(-(h * c["v"]) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _jpeg_prog_scan(b, pos, frame, scomps, coefs, hdc, hac, ri,
+                    ss, se, ah, al):
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    zigzag coefficient arrays `coefs[comp_id]` (nby, nbx, 64), returning
+    the stream position of the next marker. Four scan kinds:
+
+      DC first   (Ss=0, Ah=0): diff-coded predictors, value << Al
+      DC refine  (Ss=0, Ah>0): one bit per block appended at bit Al
+      AC first   (Ss>0, Ah=0): run/size + EOB-run (EOBn) coding
+      AC refine  (Ss>0, Ah>0): correction bit per already-nonzero coef,
+                               new coefs inserted at +-(1 << Al)
+
+    DC scans may interleave components (MCU order over the padded grid);
+    AC scans are single-component with raster order over `_comp_blocks`
+    dims. RSTn resets predictors AND the EOB run."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    br = _JpegBits(b, pos)
+    bit_al = 1 << al
+
+    if ss == 0:                                    # ---- DC scan
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan with Se != 0")
+        order = [(by_id[cs], hdc.get(td) if ah == 0 else None)
+                 for cs, td, _ in scomps]
+        if ah == 0 and any(t is None for _, t in order):
+            raise ValueError("JPEG: missing DC Huffman table")
+        preds = [0] * len(order)
+
+        def dc_unit(ci, blk):
+            if ah == 0:                            # first pass
+                s = _huff_decode(br, order[ci][1])
+                preds[ci] += _extend(br.bits(s), s) if s else 0
+                blk[0] = preds[ci] << al
+            else:                                  # refinement bit
+                blk[0] |= br.bit() << al
+
+        mcu = rst = 0
+        if len(order) == 1:                        # non-interleaved
+            c = order[0][0]
+            arr = coefs[c["id"]]
+            nbx, nby = _comp_blocks(w, h, c, hmax, vmax)
+            for i in range(nbx * nby):
+                if ri and mcu and mcu % ri == 0:
+                    br.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0]
+                by, bx = divmod(i, nbx)
+                dc_unit(0, arr[by, bx])
+                mcu += 1
+        else:                                      # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and mcu and mcu % ri == 0:
+                        br.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(order)
+                    for ci, (c, _) in enumerate(order):
+                        arr = coefs[c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(ci, arr[my * c["v"] + by,
+                                                mx * c["h"] + bx])
+                    mcu += 1
+    else:                                          # ---- AC scan
+        if len(scomps) != 1:
+            raise ValueError("JPEG: progressive AC scan must be "
+                             "single-component")
+        if se > 63 or ss > se:
+            raise ValueError("JPEG: bad spectral band")
+        cs, _, ta = scomps[0]
+        c = by_id[cs]
+        tac = hac.get(ta)
+        if tac is None:
+            raise ValueError("JPEG: missing AC Huffman table")
+        arr = coefs[c["id"]]
+        nbx, nby = _comp_blocks(w, h, c, hmax, vmax)
+        eobrun = 0
+
+        def refine(blk, k):
+            v = int(blk[k])
+            if br.bit() and not (v & bit_al):
+                blk[k] = v + bit_al if v > 0 else v - bit_al
+
+        mcu = rst = 0
+        for i in range(nbx * nby):
+            if ri and mcu and mcu % ri == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            by, bx = divmod(i, nbx)
+            blk = arr[by, bx]
+            if ah == 0:                            # first pass
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(br, tac)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:            # EOBn
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += 16                # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG: AC index overflow")
+                            blk[k] = _extend(br.bits(s), s) << al
+                            k += 1
+            else:                                  # refinement pass
+                if eobrun:
+                    for kk in range(ss, se + 1):
+                        if blk[kk]:
+                            refine(blk, kk)
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(br, tac)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:            # EOBn: refine the rest
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # ZRL: pass 16 zero-history coefs below
+                        elif s == 1:
+                            newval = bit_al if br.bit() else -bit_al
+                        else:
+                            raise ValueError("JPEG: refinement size != 1")
+                        while k <= se:             # walk, refining nonzeros
+                            if blk[k]:
+                                refine(blk, k)
+                            elif r == 0:
+                                break
+                            else:
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("JPEG: refinement overflow")
+                            blk[k] = newval
+                        k += 1
+                    if eobrun:                     # finish this EOB block
+                        for kk in range(k, se + 1):
+                            if blk[kk]:
+                                refine(blk, kk)
+                        eobrun -= 1
+            mcu += 1
+
+    # skip any padding up to the next marker (fill 0xFFs allowed)
+    p = br.pos
+    n = len(b)
+    while p + 1 < n and not (b[p] == 0xFF and b[p + 1] not in (0x00, 0xFF)):
+        p += 1
+    return p
+
+
+def _jpeg_reconstruct(frame, coefs, qt):
+    """Shared final stage for progressive streams: dequantize the
+    accumulated zigzag coefficients, de-zigzag, vectorized IDCT (one
+    einsum per component), upsample, crop, color-convert."""
+    import numpy as np
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zz, A = _make_zigzag(), _dct_basis()
+    full = []
+    for c in comps:
+        arr = coefs[c["id"]].astype(np.float64)
+        q = qt[c["tq"]].astype(np.float64)
+        deq = arr * q[None, None, :]
+        blk = np.zeros_like(deq)
+        blk[:, :, zz] = deq
+        nby, nbx = arr.shape[:2]
+        blk = blk.reshape(nby, nbx, 8, 8)
+        f = np.einsum("ij,yxjk,kl->yxil", A.T, blk, A) + 128.0
+        pl = f.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sy > 1 or sx > 1:
+            pl = np.kron(pl, np.ones((sy, sx)))
+        full.append(pl[:h, :w])
+    return _jpeg_color(full)
+
+
 def raw_decoder(content: bytes, modality: str) -> tuple:
     """REAL decoder, drop-in for the `decoder=` seam: (width, height,
     n_frames, sample_rate) from actual file headers. Supports netpbm P5/P6,
     uncompressed 24-bpp BMP, PNG (stdlib-zlib DEFLATE decode), GIF
     (pure-Python LZW; multi-frame GIFs report a REAL frame count for the
-    video path), baseline JPEG (SOFn dimensions; pixels via
-    decode_jpeg_pixels), MP4/M4A containers (real ISO BMFF box walk:
-    tkhd dimensions, stsz frame count, audio-track mdhd sample rate),
-    MP3 frame headers (sample rate, ID3v2-aware), and PCM WAV; anything
-    else raises ValueError (compressed AV payloads — H.264/AAC/MP3
-    frames, progressive JPEG — need a codec-backed decoder injected;
-    this function never fakes)."""
+    video path), JPEG both baseline and progressive (SOFn dimensions;
+    pixels via decode_jpeg_pixels), MP4/M4A containers (real ISO BMFF
+    box walk: tkhd dimensions, stsz frame count, audio-track mdhd sample
+    rate), MP3 frame headers (sample rate, ID3v2-aware), and PCM WAV;
+    anything else raises ValueError (compressed AV payloads —
+    H.264/AAC/MP3 frames — need a codec-backed decoder injected; this
+    function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
         if ppm is not None:
@@ -1002,7 +1436,8 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
 
 
 def decode_raw_pixels(content: bytes):
-    """Pixel array (uint8, H x W x 3 RGB) from PPM/PGM/BMP/PNG/GIF bytes."""
+    """Pixel array (uint8, H x W x 3 RGB) from PPM/PGM/BMP/PNG/GIF/JPEG
+    (baseline or progressive) bytes."""
     import numpy as np
     ppm = _ppm_header(content)
     if ppm is not None:
@@ -1045,9 +1480,9 @@ def resize_nearest(img, target_w: int, target_h: int):
 
 def resize_raw_assets(assets: DataFrame, target_w: int = 64,
                       target_h: int = 64) -> DataFrame:
-    """REAL resize for decodable image assets: decodes PPM/PGM/BMP/PNG
-    pixels, nearest-neighbor aspect-fit resizes them, and emits the sha256
-    of the ACTUAL resized RGB buffer (not a key derived from the source
+    """REAL resize for decodable image assets: decodes PPM/PGM/BMP/PNG/GIF/
+    JPEG pixels, nearest-neighbor aspect-fit resizes them, and emits the
+    sha256 of the ACTUAL resized RGB buffer (not a key derived from the source
     hash). Same Arrow-batched mapInPandas shape as resize_assets — binary
     never shuffled, one pass, executor memory bounded by the Arrow batch."""
 
@@ -1072,3 +1507,53 @@ def resize_raw_assets(assets: DataFrame, target_w: int = 64,
             })
 
     return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", LongType()),          # frames per channel
+    StructField("duration_ms", LongType()),
+    StructField("peak", IntegerType()),            # max |int16 sample|
+    StructField("rms", DoubleType()),
+    StructField("samples_sha256", StringType()),   # of the decoded buffer
+])
+
+
+def audio_stats_raw(assets: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for decodable WAV assets (linear PCM,
+    IEEE float, G.711 mu-law/A-law, IMA ADPCM — see decode_wav_samples):
+    decodes the actual payload and emits duration, peak, RMS, and the
+    sha256 of the decoded int16 buffer (proof the samples are real, the
+    audio analogue of resize_raw_assets' resized_sha256). Same 100 TB
+    shape: binary stays in its parquet column chunk, one Arrow-batched
+    mapInPandas pass, downstream joins on the compact stats only."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rate, nch, ns, dur, peak, rms, shas = [], [], [], [], [], [], []
+            for c in pdf["content"]:
+                s, r = decode_wav_samples(bytes(c or b""))
+                rate.append(r)
+                nch.append(s.shape[1])
+                ns.append(s.shape[0])
+                dur.append(int(s.shape[0] * 1000 // r) if r else 0)
+                x = s.astype("float64")
+                peak.append(int(abs(x).max()) if s.size else 0)
+                rms.append(float(math.sqrt((x * x).mean()))
+                           if s.size else 0.0)
+                shas.append(hashlib.sha256(s.tobytes()).hexdigest())
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].to_numpy(),
+                "sample_rate": pd.array(rate, dtype="Int32"),
+                "n_channels": pd.array(nch, dtype="Int32"),
+                "n_samples": pd.array(ns, dtype="Int64"),
+                "duration_ms": pd.array(dur, dtype="Int64"),
+                "peak": pd.array(peak, dtype="Int32"),
+                "rms": rms,
+                "samples_sha256": shas,
+            })
+
+    return assets.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)

@@ -809,6 +809,213 @@ def _wav_bytes(sample_rate, n_samples=16):
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+def _wav_container(tag, ch, rate, bits, balign, data, extra=b""):
+    """General RIFF/WAVE builder (any format tag) for the payload-decode
+    tests; includes a LIST chunk BEFORE fmt to prove the chunk walk."""
+    import struct
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * balign, balign,
+                      bits) + extra
+    body = (b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _mulaw_compress(x):
+    """Independent G.711 mu-law compressor (CCITT reference formula)."""
+    out = bytearray()
+    for v in x:
+        v = int(v)
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v), 32635) + 0x84
+        exp = v.bit_length() - 8
+        mant = (v >> (exp + 3)) & 0x0F
+        out.append(~(sign | (exp << 4) | mant) & 0xFF)
+    return bytes(out)
+
+
+def _alaw_compress(x):
+    """Independent G.711 A-law compressor (16-bit-aligned segments; the
+    positive mask is 0xD5 per the CCITT reference)."""
+    out = bytearray()
+    for v in x:
+        v = int(v)
+        pos = v >= 0
+        m = min(abs(v), 32767)
+        if m < 256:
+            seg, mant = 0, m >> 4
+        else:
+            seg = m.bit_length() - 8
+            mant = (m >> (seg + 3)) & 0x0F
+        out.append(((seg << 4) | mant) ^ (0xD5 if pos else 0x55))
+    return bytes(out)
+
+
+def _ima_encode_block(samples, idxs):
+    """Independent IMA ADPCM encoder for ONE WAV block: returns
+    (block_bytes, reconstruction, end_idxs). `samples` is (spb, ch) int16
+    with spb = 1 + 8k; the reconstruction tracks the decoder's predictor
+    recurrence exactly, so decode must reproduce it bit-for-bit."""
+    spb, ch = samples.shape
+    st, it = MM._IMA_STEP_TABLE, MM._IMA_INDEX_TABLE
+    preds = [int(samples[0, c]) for c in range(ch)]
+    idxs = list(idxs)
+    header = b""
+    for c in range(ch):
+        header += preds[c].to_bytes(2, "little", signed=True) \
+            + bytes([idxs[c], 0])
+    nibbles = [[] for _ in range(ch)]
+    recon = np.zeros_like(samples)
+    recon[0] = samples[0]
+    for s in range(1, spb):
+        for c in range(ch):
+            step = st[idxs[c]]
+            diff = int(samples[s, c]) - preds[c]
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3                   # decoder-side reconstruction
+            if nib & 4:
+                d += step
+            if nib & 2:
+                d += step >> 1
+            if nib & 1:
+                d += step >> 2
+            preds[c] = preds[c] - d if nib & 8 else preds[c] + d
+            preds[c] = max(-32768, min(32767, preds[c]))
+            idxs[c] = max(0, min(88, idxs[c] + it[nib]))
+            recon[s, c] = preds[c]
+            nibbles[c].append(nib)
+    data = bytearray(header)
+    for g in range(0, spb - 1, 8):
+        for c in range(ch):
+            grp = nibbles[c][g:g + 8]
+            for i in range(0, 8, 2):
+                data.append(grp[i] | (grp[i + 1] << 4))
+    return bytes(data), recon, idxs
+
+
+def test_wav_payload_decode():
+    """REAL WAV payload decode: PCM16/PCM8/float32 exact; G.711 mu-law and
+    A-law vs independent CCITT-formula compressors (per-sample expansion
+    parity + bounded companding quantization error); chunk walk handles a
+    LIST chunk before fmt."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, size=200).astype(np.int16)
+    # PCM16 (stereo) round-trips exactly
+    st = np.stack([x[:100], x[100:]], axis=1)
+    s, r = MM.decode_wav_samples(
+        _wav_container(1, 2, 8000, 16, 4, st.tobytes()))
+    assert r == 8000 and (s == st).all()
+    # PCM8 unsigned -> int16 << 8
+    u8 = rng.integers(0, 256, size=64).astype(np.uint8)
+    s, _ = MM.decode_wav_samples(_wav_container(1, 1, 8000, 8, 1,
+                                                u8.tobytes()))
+    assert (s[:, 0] == ((u8.astype(np.int16) - 128) << 8)).all()
+    # IEEE float32
+    f = (rng.random(50).astype(np.float32) - 0.5) * 1.8
+    s, _ = MM.decode_wav_samples(_wav_container(3, 1, 16000, 32, 4,
+                                                f.tobytes()))
+    ref = np.clip(np.round(f.astype(np.float64) * 32767), -32768, 32767)
+    assert (s[:, 0] == ref.astype(np.int16)).all()
+    # 24-bit PCM: top 16 bits survive, sign extended
+    v24 = rng.integers(-(1 << 23), 1 << 23, size=40).astype(np.int32)
+    raw = np.zeros((40, 3), np.uint8)
+    raw[:, 0] = v24 & 0xFF
+    raw[:, 1] = (v24 >> 8) & 0xFF
+    raw[:, 2] = (v24 >> 16) & 0xFF
+    s, _ = MM.decode_wav_samples(_wav_container(1, 1, 48000, 24, 3,
+                                                raw.tobytes()))
+    assert (s[:, 0] == (v24 >> 8).astype(np.int16)).all()
+    # G.711 mu-law: decode matches the scalar reference expansion and the
+    # companding error stays within the segment's quantization step
+    enc = _mulaw_compress(x)
+    s, _ = MM.decode_wav_samples(_wav_container(7, 1, 8000, 8, 1, enc))
+    got = s[:, 0].astype(np.int64)
+    for i in (0, 1, 17, 199):               # scalar spot-check
+        u = ~enc[i] & 0xFF
+        mag = (((u & 0x0F) << 3 | 0x84) << ((u >> 4) & 7)) - 0x84
+        assert got[i] == (-mag if u & 0x80 else mag)
+    err = np.abs(got - x.astype(np.int64))
+    seg = np.maximum((np.minimum(np.abs(x.astype(np.int64)), 32635)
+                      + 0x84).astype(np.int64), 1)
+    bound = 1 << (np.log2(seg).astype(np.int64) - 7 + 3)
+    assert (err <= bound).all()
+    # G.711 A-law: same checks (positive values carry mask 0xD5)
+    enca = _alaw_compress(x)
+    s, _ = MM.decode_wav_samples(_wav_container(6, 1, 8000, 8, 1, enca))
+    gota = s[:, 0].astype(np.int64)
+    assert np.abs(gota - x.astype(np.int64)).max() <= 1024 + 16
+    assert (np.sign(gota) == np.sign(x))[np.abs(x) >= 256].all()
+    # honest error on a payload that needs a codec
+    with pytest.raises(ValueError, match="codec-backed"):
+        MM.decode_wav_samples(_wav_container(0x55, 1, 8000, 0, 1, b"xx"))
+
+
+def test_ima_adpcm_decode():
+    """IMA/DVI ADPCM decode is bit-exact vs the independent in-test
+    encoder's predictor reconstruction — mono and stereo, multi-block,
+    step-index carried across blocks via the per-block headers."""
+    rng = np.random.default_rng(12)
+    for ch in (1, 2):
+        spb = 33                            # 1 + 8k samples per block
+        balign = 4 * ch + (spb - 1) // 2 * ch
+        t = np.arange(spb * 3, dtype=np.float64)
+        wave = (6000 * np.sin(t / 3)[:, None]
+                + rng.integers(-900, 900, size=(spb * 3, ch))) \
+            .astype(np.int16)
+        data, recon, idxs = b"", [], [0] * ch
+        for b0 in range(0, spb * 3, spb):
+            blk, rec, idxs = _ima_encode_block(wave[b0:b0 + spb], idxs)
+            assert len(blk) == balign
+            data += blk
+            recon.append(rec)
+        expected = np.concatenate(recon, axis=0)
+        s, r = MM.decode_wav_samples(
+            _wav_container(0x11, ch, 8000, 4, balign, data,
+                           extra=(2).to_bytes(2, "little")
+                           + spb.to_bytes(2, "little")))
+        assert r == 8000
+        assert s.shape == expected.shape
+        assert (s == expected).all(), f"ch={ch}"
+        # ADPCM tracks the waveform (sanity: decode is audio, not noise)
+        assert float(np.abs(s.astype(float)
+                            - wave.astype(float)).mean()) < 2000
+
+
+def test_audio_stats_spark_e2e(spark):
+    """mu-law and IMA ADPCM WAV assets through the Arrow-batched Spark
+    audio_stats_raw path: per-asset sample hash equals the local payload
+    decode (the audio analogue of the resized-pixel hash test)."""
+    import hashlib as hl
+    rng = np.random.default_rng(13)
+    x = (3000 * np.sin(np.arange(65) / 2)).astype(np.int16)
+    mu = _wav_container(7, 1, 8000, 8, 1, _mulaw_compress(x))
+    blk, _, _ = _ima_encode_block(x[:, None], [0])
+    ima = _wav_container(0x11, 1, 16000, 4, 36, blk,
+                         extra=(2).to_bytes(2, "little")
+                         + (65).to_bytes(2, "little"))
+    assets = spark.createDataFrame(
+        [("mu", "audio", bytearray(mu), "audio/wav"),
+         ("ima", "audio", bytearray(ima), "audio/wav")], MM.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r for r in MM.audio_stats_raw(assets).collect()}
+    for aid, content in (("mu", mu), ("ima", ima)):
+        s, r = MM.decode_wav_samples(content)
+        assert rows[aid]["sample_rate"] == r
+        assert rows[aid]["n_samples"] == s.shape[0]
+        assert rows[aid]["peak"] == int(np.abs(s.astype(np.int64)).max())
+        assert rows[aid]["samples_sha256"] == \
+            hl.sha256(s.tobytes()).hexdigest()
+
+
 def test_raw_decoder_real_headers(spark):
     """The pure-numpy raw decoder reads REAL dimensions/rates from actual
     PPM / BMP / WAV bytes through the same decoder= seam the stub uses —
@@ -824,8 +1031,9 @@ def test_raw_decoder_real_headers(spark):
     assert (got["a"]["width"], got["a"]["height"]) == (8, 4)
     assert (got["b"]["width"], got["b"]["height"]) == (8, 4)
     assert got["c"]["sample_rate"] == 44100 and got["c"]["width"] is None
-    # honest failure on compressed/unknown bytes — never fakes (JPEG here;
-    # PNG graduated to a real stdlib-zlib decode in round 6)
+    # honest failure on unknown/garbage bytes — never fakes (these JPEG-SIG
+    # bytes carry no valid SOF segment; PNG and JPEG both graduated to
+    # real decode in round 6, so only genuinely undecodable content raises)
     with pytest.raises(ValueError, match="codec-backed"):
         MM.raw_decoder(b"\xff\xd8\xff\xe0....JFIF....", "image")
 
@@ -1097,6 +1305,10 @@ _JT_DC_SYMS = list(range(12))
 _JT_AC_COUNTS = [0] * 7 + [162] + [0] * 8
 _JT_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
                               for s in range(1, 11)]
+# progressive AC table additionally needs the EOBn symbols (s=0, r=1..14
+# code an EOB run of 2^r + r extra bits) — all 176 symbols at 8 bits
+_JT_ACP_COUNTS = [0] * 7 + [176] + [0] * 8
+_JT_ACP_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
 
 
 class _JpegBitW:
@@ -1126,22 +1338,22 @@ def _jpeg_mag(v):
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def _jpeg_bytes(img, subsample=False, ri=0, gray=False):
-    """Independent in-test baseline JPEG encoder: RGB->YCbCr, optional
-    4:2:0 box-average subsampling, non-constant zigzag-stored quant
-    tables, canonical-Huffman entropy coding with byte stuffing and
-    optional DRI/RSTn restarts. Returns (jpeg_bytes, expected_rgb) where
-    expected_rgb reconstructs through the SAME dequant/IDCT/upsample/
-    color math the decoder must perform."""
+def _jpeg_quantize(img, subsample=False, gray=False):
+    """Shared encoder prologue (baseline AND progressive in-test encoders
+    call this, so both streams carry IDENTICAL quantized coefficients):
+    RGB->YCbCr, optional 4:2:0 box-average subsampling, MCU-padded planes,
+    per-block forward DCT + quantization with non-constant tables (so a
+    zigzag-order bug cannot cancel out). Returns
+    (comps, qblocks, mcux, mcuy, hv) where comps is
+    [(plane, h_samp, v_samp, qtable), ...]."""
     h, w, _ = img.shape
-    A, zz = MM._dct_basis(), MM._make_zigzag()
+    A = MM._dct_basis()
     r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     hv = 2 if subsample else 1
     mcux, mcuy = -(-w // (8 * hv)), -(-h // (8 * hv))
-    # non-constant tables so a zigzag-order bug cannot cancel out
     qy = (8 + (np.arange(8)[:, None] + np.arange(8)[None, :])).astype(np.int64)
     qc = qy + 4
 
@@ -1170,6 +1382,46 @@ def _jpeg_bytes(img, subsample=False, ri=0, gray=False):
                 f = A @ (pl[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] - 128.0) @ A.T
                 blks[iy, ix] = np.round(f / q).astype(np.int64)
         qblocks.append(blks)
+    return comps, qblocks, mcux, mcuy, hv
+
+
+def _jpeg_expected(img, comps, qblocks, hv):
+    """Expected RGB reconstruction from the quantized blocks: the same
+    dequant/IDCT/upsample/color math the decoder must perform."""
+    h, w = img.shape[:2]
+    A = MM._dct_basis()
+    recon = []
+    for (pl, ch, cv, q), blks in zip(comps, qblocks):
+        nby, nbx = blks.shape[:2]
+        rp = np.zeros((nby * 8, nbx * 8))
+        for iy in range(nby):
+            for ix in range(nbx):
+                rp[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] = \
+                    A.T @ (blks[iy, ix] * q).astype(np.float64) @ A + 128.0
+        sy, sx = hv // cv, hv // ch
+        if sy > 1 or sx > 1:
+            rp = np.kron(rp, np.ones((sy, sx)))
+        recon.append(rp[:h, :w])
+    if len(recon) == 1:
+        yo = np.clip(np.round(recon[0]), 0, 255).astype(np.uint8)
+        return np.repeat(yo[:, :, None], 3, axis=2)
+    yo, cbo, cro = recon
+    rgb = np.stack([yo + 1.402 * (cro - 128.0),
+                    yo - 0.344136 * (cbo - 128.0)
+                    - 0.714136 * (cro - 128.0),
+                    yo + 1.772 * (cbo - 128.0)], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_bytes(img, subsample=False, ri=0, gray=False):
+    """Independent in-test baseline JPEG encoder: canonical-Huffman entropy
+    coding of the `_jpeg_quantize` coefficients with byte stuffing and
+    optional DRI/RSTn restarts. Returns (jpeg_bytes, expected_rgb)."""
+    h, w, _ = img.shape
+    zz = MM._make_zigzag()
+    comps, qblocks, mcux, mcuy, hv = _jpeg_quantize(img, subsample, gray)
+    qy = comps[0][3]
+    qc = comps[1][3] if len(comps) > 1 else None
 
     dc_enc = _jpeg_canon(_JT_DC_COUNTS, _JT_DC_SYMS)
     ac_enc = _jpeg_canon(_JT_AC_COUNTS, _JT_AC_SYMS)
@@ -1236,31 +1488,224 @@ def _jpeg_bytes(img, subsample=False, ri=0, gray=False):
         sos += bytes([k + 1, 0x00])
     seg(0xDA, sos + bytes([0, 63, 0]))
     out += bw.out + b"\xff\xd9"
+    return bytes(out), _jpeg_expected(img, comps, qblocks, hv)
 
-    # expected reconstruction: same dequant/IDCT/upsample/color math
-    recon = []
-    for (pl, ch, cv, q), blks in zip(comps, qblocks):
-        nby, nbx = blks.shape[:2]
-        rp = np.zeros((nby * 8, nbx * 8))
-        for iy in range(nby):
-            for ix in range(nbx):
-                rp[iy * 8:iy * 8 + 8, ix * 8:ix * 8 + 8] = \
-                    A.T @ (blks[iy, ix] * q).astype(np.float64) @ A + 128.0
-        sy, sx = hv // cv, hv // ch
-        if sy > 1 or sx > 1:
-            rp = np.kron(rp, np.ones((sy, sx)))
-        recon.append(rp[:h, :w])
-    if gray:
-        yo = np.clip(np.round(recon[0]), 0, 255).astype(np.uint8)
-        expected = np.repeat(yo[:, :, None], 3, axis=2)
-    else:
-        yo, cbo, cro = recon
-        rgb = np.stack([yo + 1.402 * (cro - 128.0),
-                        yo - 0.344136 * (cbo - 128.0)
-                        - 0.714136 * (cro - 128.0),
-                        yo + 1.772 * (cbo - 128.0)], axis=2)
-        expected = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return bytes(out), expected
+
+def _enc_ac_first(bw, blocks, ss, se, al, ac_enc):
+    """Progressive AC first-pass scan body (T.81 G.1.2.2): run/size coding
+    of the point-transformed band with EOB-run (EOBn) accumulation across
+    blocks. `blocks` yields 64-long zigzag coefficient vectors."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            bw.put(*ac_enc[nbits << 4])
+            if nbits:
+                bw.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zc in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zc[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                bw.put(*ac_enc[0xF0])
+                r -= 16
+            s, mag = _jpeg_mag(t if v > 0 else -t)
+            bw.put(*ac_enc[(r << 4) | s])
+            bw.put(mag, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, ac_enc):
+    """Progressive AC refinement scan body (T.81 G.1.2.3, mirroring
+    libjpeg's encode_mcu_AC_refine): one correction bit per already-
+    nonzero coefficient, buffered and emitted after the next symbol;
+    newly-nonzero coefficients code as run/1 + sign; trailing zeros and
+    correction bits fold into the EOB run."""
+    eobrun, be = 0, []                  # pending EOB run + its buffered bits
+
+    def emit_eobrun():
+        nonlocal eobrun, be
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            bw.put(*ac_enc[nbits << 4])
+            if nbits:
+                bw.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for bit in be:
+            bw.put(bit, 1)
+        be = []
+
+    for zc in blocks:
+        absv = [abs(int(zc[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                        # band-relative last newly-nonzero
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r, br_bits = 0, []              # zero run + bits since last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                emit_eobrun()
+                bw.put(*ac_enc[0xF0])
+                r -= 16
+                for bit in br_bits:
+                    bw.put(bit, 1)
+                br_bits = []
+            if t > 1:                   # already nonzero: buffer bit Al
+                br_bits.append(t & 1)
+                continue
+            emit_eobrun()               # newly nonzero here
+            bw.put(*ac_enc[(r << 4) | 1])
+            bw.put(1 if int(zc[ss + i]) > 0 else 0, 1)
+            for bit in br_bits:
+                bw.put(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be.extend(br_bits)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _jpeg_prog_bytes(img, subsample=False, gray=False, ri=0):
+    """Independent in-test PROGRESSIVE JPEG encoder (T.81 Annex G) built
+    on the SAME `_jpeg_quantize` coefficients as the baseline encoder:
+    an interleaved DC-first scan (Al=1), per-component AC-first scans
+    with spectral selection (Y split 1..5 / 6..63 at Al=2, chroma 1..63
+    at Al=1), then the successive-approximation refinement ladder down
+    to Al=0 for every band, and a final DC refinement. With ri > 0 every
+    scan carries RSTn restarts every ri MCUs (predictors, EOB run, and
+    buffered correction bits all flush at the boundary). Decoding it
+    must reproduce the baseline decode exactly."""
+    h, w, _ = img.shape
+    zz = MM._make_zigzag()
+    comps, qblocks, mcux, mcuy, hv = _jpeg_quantize(img, subsample, gray)
+    dc_enc = _jpeg_canon(_JT_DC_COUNTS, _JT_DC_SYMS)
+    ac_enc = _jpeg_canon(_JT_ACP_COUNTS, _JT_ACP_SYMS)
+    ncomp = len(comps)
+
+    # non-interleaved per-component block dims (ceil of comp dims / 8),
+    # smaller than the padded MCU grid when h or w needs padding
+    dims = []
+    for _, ch, cv, _ in comps:
+        cw, chh = -(-w * ch // hv), -(-h * cv // hv)
+        dims.append((-(-chh // 8), -(-cw // 8)))
+
+    def band_blocks(ci):
+        nby, nbx = dims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                yield qblocks[ci][by, bx].reshape(64)[zz]
+
+    def chunks(seq, n):
+        """ri-sized restart intervals (one chunk = whole scan when ri=0)."""
+        seq = list(seq)
+        if not n:
+            return [seq]
+        return [seq[i:i + n] for i in range(0, len(seq), n)]
+
+    def restart(bw, rst):
+        bw.align()
+        bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+
+    def dc_scan(al, refine):
+        bw = _JpegBitW()
+        mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        for gi, group in enumerate(chunks(mcus, ri)):
+            if gi:
+                restart(bw, gi - 1)
+            preds = [0] * ncomp
+            for my, mx in group:
+                for ci, (_, ch, cv, _) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zc0 = int(qblocks[ci][my * cv + by,
+                                                  mx * ch + bx][0, 0])
+                            if refine:
+                                bw.put((zc0 >> al) & 1, 1)
+                            else:
+                                v = zc0 >> al      # arithmetic shift
+                                s, mag = _jpeg_mag(v - preds[ci])
+                                preds[ci] = v
+                                bw.put(*dc_enc[s])
+                                if s:
+                                    bw.put(mag, s)
+        bw.align()
+        return bytes(bw.out)
+
+    def ac_scan(ci, ss, se, al, refine):
+        bw = _JpegBitW()
+        fn = _enc_ac_refine if refine else _enc_ac_first
+        for gi, group in enumerate(chunks(band_blocks(ci), ri)):
+            if gi:
+                restart(bw, gi - 1)
+            fn(bw, group, ss, se, al, ac_enc)
+            bw.align()
+        return bytes(bw.out)
+
+    # (scan components, Ss, Se, Ah, Al, entropy bytes); every band walks
+    # the successive-approximation ladder down to Al=0
+    all_c = list(range(ncomp))
+    scans = [(all_c, 0, 0, 0, 1, dc_scan(1, False))]
+    y_bands = [(1, 5), (6, 63)] if not gray else [(1, 63)]
+    for ss, se in y_bands:
+        scans.append(([0], ss, se, 0, 2, ac_scan(0, ss, se, 2, False)))
+    for ci in range(1, ncomp):
+        scans.append(([ci], 1, 63, 0, 1, ac_scan(ci, 1, 63, 1, False)))
+    for ss, se in y_bands:
+        scans.append(([0], ss, se, 2, 1, ac_scan(0, ss, se, 1, True)))
+    scans.append((all_c, 0, 0, 1, 0, dc_scan(0, True)))
+    for ss, se in y_bands:
+        scans.append(([0], ss, se, 1, 0, ac_scan(0, ss, se, 0, True)))
+    for ci in range(1, ncomp):
+        scans.append(([ci], 1, 63, 1, 0, ac_scan(ci, 1, 63, 0, True)))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker])
+                   + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    qy = comps[0][3]
+    seg(0xDB, bytes([0x00]) + bytes(qy.reshape(64)[zz].astype(np.uint8)))
+    if not gray:
+        qc = comps[1][3]
+        seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[zz].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for k, (_, ch, cv, _) in enumerate(comps):
+        sof += bytes([k + 1, (ch << 4) | cv, 0 if k == 0 else 1])
+    seg(0xC2, sof)                      # SOF2: progressive DCT
+    seg(0xC4, bytes([0x00] + _JT_DC_COUNTS) + bytes(_JT_DC_SYMS))
+    seg(0xC4, bytes([0x10] + _JT_ACP_COUNTS) + bytes(_JT_ACP_SYMS))
+    if ri:
+        seg(0xDD, ri.to_bytes(2, "big"))
+    for sel, ss, se, ah, al, data in scans:
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])
+        seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out), _jpeg_expected(img, comps, qblocks, hv)
 
 
 def test_jpeg_decode_roundtrip():
@@ -1301,10 +1746,108 @@ def test_jpeg_decode_roundtrip():
     # truncation -> honest error, never a wrong image
     with pytest.raises(ValueError):
         MM.decode_jpeg_pixels(b444[:len(b444) // 2])
-    # progressive (SOF2) is out of scope -> honest error
+    # a baseline-bodied stream relabeled SOF2 is a MALFORMED progressive
+    # stream (its only scan says Ss=0, Se=63 — DC and AC may not mix in
+    # progressive mode) -> honest error
     prog = b444.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         MM.decode_jpeg_pixels(prog)
+
+
+def test_jpeg_progressive_decode():
+    """REAL progressive JPEG decode (T.81 Annex G) vs an independent
+    in-test progressive encoder built on the SAME quantized coefficients
+    as the baseline encoder: after the full successive-approximation
+    ladder, the decoded image must match the baseline decode of identical
+    coefficients pixel-for-pixel (within IDCT float rounding). Exercises
+    interleaved + non-interleaved DC scans, spectral-selection bands,
+    EOB-run coding, AC refinement correction bits, and truncation."""
+    rng = np.random.default_rng(33)
+    gy, gx = np.mgrid[0:33, 0:46]
+    base = (gy * 3 + gx * 2) % 256
+    img = np.clip(base[:, :, None]
+                  + rng.integers(-25, 25, size=(33, 46, 3)), 0, 255) \
+        .astype(np.uint8)
+    # 4:4:4 — expected comes from the shared quantized blocks
+    p444, exp444 = _jpeg_prog_bytes(img)
+    got = MM.decode_jpeg_pixels(p444)
+    assert got.shape == exp444.shape
+    assert int(np.abs(got.astype(int) - exp444.astype(int)).max()) <= 1
+    # progressive and baseline streams of the same image decode the same
+    b444, _ = _jpeg_bytes(img)
+    gotb = MM.decode_jpeg_pixels(b444)
+    assert int(np.abs(got.astype(int) - gotb.astype(int)).max()) <= 1
+    # header path reports dims for SOF2 too
+    assert MM.raw_decoder(p444, "image") == (46, 33, None, None)
+    assert (MM.decode_raw_pixels(p444) == got).all()
+    # 4:2:0 subsampled: non-interleaved Y AC grid (5 block rows) is
+    # smaller than the padded MCU grid (6) — exercises _comp_blocks
+    p420, exp420 = _jpeg_prog_bytes(img, subsample=True)
+    got420 = MM.decode_jpeg_pixels(p420)
+    assert int(np.abs(got420.astype(int) - exp420.astype(int)).max()) <= 1
+    # grayscale: single-component (non-interleaved) DC scan path
+    pg, expg = _jpeg_prog_bytes(img, gray=True)
+    gotg = MM.decode_jpeg_pixels(pg)
+    assert int(np.abs(gotg.astype(int) - expg.astype(int)).max()) <= 1
+    # a smooth image drives long EOB runs (every AC band mostly zero)
+    smooth = np.full((24, 24, 3), 130, np.uint8)
+    smooth[:, :, 1] = 90
+    ps, exps = _jpeg_prog_bytes(smooth)
+    assert int(np.abs(MM.decode_jpeg_pixels(ps).astype(int)
+                      - exps.astype(int)).max()) <= 1
+    # RSTn restarts inside every progressive scan: predictors, EOB run,
+    # and buffered refinement bits must all reset at the boundary
+    pr, expr = _jpeg_prog_bytes(img, ri=3)
+    gotr = MM.decode_jpeg_pixels(pr)
+    assert int(np.abs(gotr.astype(int) - expr.astype(int)).max()) <= 1
+    assert (gotr == got).all()          # identical coefficients either way
+    # truncation mid-ladder -> honest error, never a wrong image
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_pixels(p444[:len(p444) * 2 // 3])
+
+
+def test_jpeg_spark_resize_e2e(spark):
+    """Baseline AND progressive JPEG bytes through the Arrow-batched Spark
+    decode/resize path (mapInPandas): per-asset resized-buffer hashes must
+    equal the local decode + nearest-neighbor resize."""
+    import hashlib as hl
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 27, 3)).astype(np.uint8)
+    bb, _ = _jpeg_bytes(img)
+    pb, _ = _jpeg_prog_bytes(img)
+    assets = spark.createDataFrame(
+        [("jb", "image", bytearray(bb), "image/jpeg"),
+         ("jp", "image", bytearray(pb), "image/jpeg")], MM.ASSET_SCHEMA)
+    rows = {r["asset_id"]: r for r in
+            MM.resize_raw_assets(assets, target_w=8, target_h=8).collect()}
+    assert set(rows) == {"jb", "jp"}
+    for aid, content in (("jb", bb), ("jp", pb)):
+        ref = MM.resize_nearest(MM.decode_raw_pixels(content), 8, 8)
+        assert (rows[aid]["src_width"], rows[aid]["src_height"]) == (27, 19)
+        assert rows[aid]["resized_sha256"] == \
+            hl.sha256(ref.tobytes()).hexdigest()
+
+
+def test_jpeg_progressive_geometry_sweep():
+    """Randomized geometry sweep: for a grid of sizes (single partial
+    block, MCU-padding asymmetries, subsampled odd dims) the progressive
+    decode must agree with the baseline decode of the SAME quantized
+    coefficients."""
+    rng = np.random.default_rng(7)
+    for (h, w), sub in [((8, 8), False), ((7, 5), False), ((16, 24), True),
+                        ((17, 9), True), ((9, 17), True), ((40, 12), False),
+                        ((13, 31), True)]:
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        pb, expp = _jpeg_prog_bytes(img, subsample=sub)
+        bb, expb = _jpeg_bytes(img, subsample=sub)
+        assert (expp == expb).all()     # same coefficients by construction
+        gp = MM.decode_jpeg_pixels(pb)
+        gb = MM.decode_jpeg_pixels(bb)
+        assert gp.shape == (h, w, 3), (h, w, sub)
+        assert int(np.abs(gp.astype(int) - expp.astype(int)).max()) <= 1, \
+            (h, w, sub)
+        assert int(np.abs(gp.astype(int) - gb.astype(int)).max()) <= 1, \
+            (h, w, sub)
 
 
 def _box(btype, payload):
