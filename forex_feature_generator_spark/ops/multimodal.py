@@ -208,6 +208,68 @@ def frame_sample(assets: DataFrame, k: int = 8, decoder=None) -> DataFrame:
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+FRAME_RAW_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("frame_sha256", StringType()),     # of the decoded RGB
+])
+
+
+def frame_sample_raw(assets: DataFrame, k: int = 8) -> DataFrame:
+    """REAL uniform frame sampling for decodable video assets (animated
+    GIF and MJPEG-in-AVI): the same floor(i * n_frames / k) deduplicated
+    sampling plan as frame_sample, but each sampled frame is ACTUALLY
+    decoded — the emitted sha256 is of the real composited RGB canvas
+    (GIF) / JPEG frame (AVI). AVI frames are independent, so only the k
+    sampled frames decode (O(k) per clip); GIF composites sequentially
+    up to the last sampled index. Same 100 TB shape as the other raw
+    ops: one Arrow-batched mapInPandas pass, binary never shuffled."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "n_frames": [], "frame_idx": [],
+                   "width": [], "height": [], "sha": []}
+            for aid, c, m in zip(pdf["asset_id"], pdf["content"],
+                                 pdf["modality"]):
+                if m != "video":
+                    continue
+                blob = bytes(c or b"")
+                if blob[:6] in _GIF_SIGS:
+                    n = _gif_header(blob)[2]
+                    idxs = sorted({i * n // k for i in range(k)})
+                    n, got = decode_gif_frames(blob, idxs)
+                elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    n = _avi_header(blob)[2]
+                    idxs = sorted({i * n // k for i in range(k)})
+                    n, got = decode_avi_frames(blob, idxs)
+                else:
+                    raise ValueError(
+                        "frame_sample_raw: not GIF/AVI bytes — inject a "
+                        "decoder via frame_sample for other containers")
+                for idx in sorted(got):
+                    img = got[idx]
+                    out["asset_id"].append(aid)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["sha"].append(hashlib.sha256(
+                        img.astype("uint8").tobytes()).hexdigest())
+            yield pd.DataFrame({
+                "asset_id": out["asset_id"],
+                "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "frame_sha256": out["sha"],
+            })
+
+    return assets.mapInPandas(batches, schema=FRAME_RAW_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Adapter for tests/benchmarks: treats document text bytes as binary
@@ -580,6 +642,84 @@ def _mp3_header(b: bytes):
     return (rate,)
 
 
+# ---- AVI / MJPEG (round 6): REAL compressed-VIDEO decode with no codec
+# library. AVI is a RIFF container (public spec: LIST hdrl -> avih for
+# dimensions/frame count, LIST movi -> '##dc'/'##db' chunks holding one
+# frame each); Motion-JPEG stores every frame as an independent baseline
+# JPEG, so the pure-Python T.81 decoder above IS the video codec. Frames
+# are independently random-accessible (no inter-frame prediction).
+
+def _avi_parse(b: bytes):
+    """RIFF/AVI walk. Returns (w, h, n_frames, frame_payload_list) or
+    None if not AVI bytes. Frame payloads come from '##dc'/'##db' chunks
+    inside LIST movi, in stream order."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    info = {"w": None, "h": None, "total": None}
+    frames = []
+
+    def walk(start, end):
+        pos = start
+        while pos + 8 <= end:
+            cc = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body0 = pos + 8
+            body1 = min(body0 + size, end)
+            if cc == b"LIST" and size >= 4:
+                walk(body0 + 4, body1)
+            elif cc == b"avih" and size >= 40:
+                info["total"] = int.from_bytes(b[body0 + 16:body0 + 20],
+                                               "little")
+                info["w"] = int.from_bytes(b[body0 + 32:body0 + 36],
+                                           "little")
+                info["h"] = int.from_bytes(b[body0 + 36:body0 + 40],
+                                           "little")
+            elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
+                frames.append(b[body0:body1])
+            pos = body0 + size + (size & 1)        # chunks are word-aligned
+
+    walk(12, len(b))
+    if info["w"] is None:
+        raise ValueError("AVI: missing avih header")
+    n = info["total"] or len(frames)
+    return info["w"], info["h"], n, frames
+
+
+def _avi_header(b: bytes):
+    """(width, height, n_frames) or None if not AVI bytes."""
+    parsed = _avi_parse(b)
+    if parsed is None:
+        return None
+    w, h, n, _ = parsed
+    return w, h, n
+
+
+def decode_avi_frames(content: bytes, indices=None):
+    """REAL MJPEG-in-AVI decode -> (n_frames, {frame_idx: (h, w, 3)
+    uint8 RGB}). Each selected '##dc' payload must be a JPEG frame
+    (Motion-JPEG); anything else raises ValueError (DIB/H.264/... need a
+    codec-backed decoder injected). Unlike GIF, frames are independent,
+    so only the REQUESTED frames are decoded — O(k) work for k samples
+    regardless of clip length."""
+    parsed = _avi_parse(content)
+    if parsed is None:
+        raise ValueError("decode_avi_frames: not AVI bytes")
+    w, h, n, frames = parsed
+    if not frames:
+        raise ValueError("AVI: no frame chunks in movi")
+    want = (range(len(frames)) if indices is None else
+            sorted({i for i in indices if 0 <= i < len(frames)}))
+    out = {}
+    for i in want:
+        payload = frames[i]
+        if not payload.startswith(_JPEG_SIG):
+            raise ValueError(
+                "AVI: frame payload is not JPEG (MJPEG) — inject a "
+                "codec-backed decoder for this video codec")
+        out[i] = decode_jpeg_pixels(payload)
+    return len(frames), out
+
+
 # ---- PNG (round 6): the one compressed format whose codec is in the
 # Python STDLIB — PNG's IDAT stream is DEFLATE (zlib) and its per-scanline
 # prediction filters are spec'd in RFC 2083 §6; both are public knowledge
@@ -846,6 +986,24 @@ def _gif_header(b: bytes):
     return w, h, max(1, len(frames))
 
 
+def _gif_frame_indices(frame):
+    """LZW-decode one parsed GIF frame into its (fh, fw) palette-index
+    array, undoing the 4-pass interlace shuffle when flagged."""
+    import numpy as np
+    left, top, fw, fh, interlace, lct, mcs, data = frame
+    idx = np.frombuffer(_gif_lzw_decode(data, mcs), dtype=np.uint8)
+    if idx.size < fw * fh:
+        raise ValueError("GIF: LZW output shorter than frame")
+    idx = idx[:fw * fh].reshape(fh, fw)
+    if interlace:                                  # 4-pass row shuffle
+        out = np.empty_like(idx)
+        order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                 + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+        out[np.array(order)] = idx
+        idx = out
+    return idx
+
+
 def decode_gif_pixels(content: bytes):
     """REAL GIF decode (pure-Python LZW + numpy): FIRST frame composited
     onto the logical screen (background = palette[bg], other frames'
@@ -862,16 +1020,7 @@ def decode_gif_pixels(content: bytes):
     pal = lct if lct is not None else gct
     if pal is None:
         raise ValueError("GIF: frame without any color table")
-    idx = np.frombuffer(_gif_lzw_decode(data, mcs), dtype=np.uint8)
-    if idx.size < fw * fh:
-        raise ValueError("GIF: LZW output shorter than frame")
-    idx = idx[:fw * fh].reshape(fh, fw)
-    if interlace:                                  # 4-pass row shuffle
-        out = np.empty_like(idx)
-        order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
-                 + [*range(2, fh, 4)] + [*range(1, fh, 2)])
-        out[np.array(order)] = idx
-        idx = out
+    idx = _gif_frame_indices(frames[0])
     if int(idx.max()) >= len(pal):
         raise ValueError("GIF: palette index out of range")
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
@@ -879,6 +1028,43 @@ def decode_gif_pixels(content: bytes):
         canvas[:, :] = gct[bg]
     canvas[top:top + fh, left:left + fw] = pal[idx]
     return canvas
+
+
+def decode_gif_frames(content: bytes, indices=None):
+    """REAL multi-frame GIF decode -> (n_frames, {frame_idx: (h, w, 3)
+    uint8 canvas}). Frames composite successively onto the logical
+    screen (do-not-dispose semantics — the common animation case; GCE
+    disposal modes 2/3 and transparency are not modeled, documented
+    simplification). `indices=None` decodes every frame; otherwise only
+    the canvases for the requested indices are returned (decode is still
+    sequential up to max(indices) — GIF frames are delta-composited, so
+    random access requires the prefix)."""
+    import numpy as np
+    parsed = _gif_parse(content)
+    if parsed is None:
+        raise ValueError("decode_gif_frames: not GIF bytes")
+    w, h, bg, gct, frames = parsed
+    if not frames:
+        raise ValueError("GIF: no image data")
+    want = None if indices is None else {i for i in indices
+                                         if 0 <= i < len(frames)}
+    last = len(frames) - 1 if want is None else (max(want) if want else -1)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    out = {}
+    for i, fr in enumerate(frames[:last + 1]):
+        left, top, fw, fh, interlace, lct, mcs, data = fr
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF: frame without any color table")
+        idx = _gif_frame_indices(fr)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        canvas[top:top + fh, left:left + fw] = pal[idx]
+        if want is None or i in want:
+            out[i] = canvas.copy()
+    return len(frames), out
 
 
 # ---- JPEG (round 6): baseline sequential DCT JPEG per the public ITU
@@ -1391,10 +1577,11 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
     video path), JPEG both baseline and progressive (SOFn dimensions;
     pixels via decode_jpeg_pixels), MP4/M4A containers (real ISO BMFF
     box walk: tkhd dimensions, stsz frame count, audio-track mdhd sample
-    rate), MP3 frame headers (sample rate, ID3v2-aware), and PCM WAV;
-    anything else raises ValueError (compressed AV payloads —
-    H.264/AAC/MP3 frames — need a codec-backed decoder injected; this
-    function never fakes)."""
+    rate), AVI (RIFF walk: avih dimensions + frame count; MJPEG payloads
+    decode fully via decode_avi_frames), MP3 frame headers (sample rate,
+    ID3v2-aware), and PCM WAV; anything else raises ValueError
+    (psychoacoustic/inter-frame payloads — H.264/AAC/MP3 frames — need a
+    codec-backed decoder injected; this function never fakes)."""
     if modality in ("image", "video"):
         ppm = _ppm_header(content)
         if ppm is not None:
@@ -1419,6 +1606,10 @@ def raw_decoder(content: bytes, modality: str) -> tuple:
         mp4 = _mp4_header(content)
         if mp4 is not None and mp4[0] is not None:
             w, h, nf, _ = mp4
+            return (w, h, nf if modality == "video" else None, None)
+        avi = _avi_header(content)
+        if avi is not None:
+            w, h, nf = avi
             return (w, h, nf if modality == "video" else None, None)
     elif modality == "audio":
         wav = _wav_header(content)

@@ -1254,6 +1254,165 @@ def _gif_bytes(idx, palette, w=None, h=None, left=0, top=0,
     return bytes(out)
 
 
+def _gif_multi_bytes(frames, palette, w, h):
+    """Multi-frame GIF89a builder with DISTINCT frames: each entry is
+    (idx_array, left, top), placed as a sub-rectangle on the logical
+    screen (the real animation layout _gif_bytes' n_frames repeat can't
+    exercise)."""
+    import math
+    pbits = max(1, math.ceil(math.log2(len(palette))))
+    mcs = max(2, pbits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (pbits - 1), 0, 0])
+    pad = (1 << pbits) - len(palette)
+    out += palette.astype(np.uint8).tobytes() + b"\x00" * (pad * 3)
+    for idx, left, top in frames:
+        fh, fw = idx.shape
+        out += b"\x2c" + left.to_bytes(2, "little") \
+            + top.to_bytes(2, "little") + fw.to_bytes(2, "little") \
+            + fh.to_bytes(2, "little") + bytes([0, mcs])
+        data = _gif_lzw_encode(idx.tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            out += bytes([len(data[i:i + 255])]) + data[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _avi_bytes(frames, w, h, total=None, codec=b"00dc"):
+    """Minimal RIFF/AVI builder: LIST hdrl (avih with dimensions + frame
+    count) + LIST movi with one chunk per frame payload."""
+    import struct
+
+    def chunk(cc, payload):
+        return (cc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0, total or len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(codec, f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_gif_multiframe_decode():
+    """REAL multi-frame GIF decode: successive sub-rectangle frames
+    composite onto the logical screen (do-not-dispose semantics); the
+    canvases match an independent numpy compositing of the same index
+    arrays, and subset decode returns the same canvases as a full walk."""
+    rng = np.random.default_rng(16)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    w, h = 25, 19
+    base = (np.arange(h * w).reshape(h, w) % 7).astype(np.uint8)
+    f1 = (np.arange(6 * 9).reshape(6, 9) % 3 + 1).astype(np.uint8)
+    f2 = np.full((4, 5), 6, np.uint8)
+    f3 = (np.arange(3 * 25).reshape(3, 25) % 8).astype(np.uint8)
+    gif = _gif_multi_bytes(
+        [(base, 0, 0), (f1, 10, 7), (f2, 2, 13), (f3, 0, 16)], pal, w, h)
+    n, got = MM.decode_gif_frames(gif)
+    assert n == 4 and sorted(got) == [0, 1, 2, 3]
+    # independent compositing oracle
+    canvas = np.zeros((h, w, 3), np.uint8)
+    canvas[:, :] = pal[0]                   # bg index 0
+    expect = {}
+    for i, (idx, left, top) in enumerate(
+            [(base, 0, 0), (f1, 10, 7), (f2, 2, 13), (f3, 0, 16)]):
+        fh, fw = idx.shape
+        canvas[top:top + fh, left:left + fw] = pal[idx]
+        expect[i] = canvas.copy()
+    for i in range(4):
+        assert (got[i] == expect[i]).all(), i
+    # frame 0 equals the single-frame decoder
+    assert (got[0] == MM.decode_gif_pixels(gif)).all()
+    # subset decode (the frame_sample path) matches the full walk
+    n2, got2 = MM.decode_gif_frames(gif, [1, 3])
+    assert n2 == 4 and sorted(got2) == [1, 3]
+    assert (got2[1] == expect[1]).all() and (got2[3] == expect[3]).all()
+    # header path reports the real frame count
+    assert MM.raw_decoder(gif, "video") == (25, 19, 4, None)
+
+
+def test_avi_mjpeg_decode():
+    """REAL compressed-video decode: MJPEG frames inside a RIFF/AVI
+    container decode pixel-exactly via the pure-Python JPEG decoder,
+    with O(k) random access (only requested frames decode); non-JPEG
+    payloads raise honestly."""
+    rng = np.random.default_rng(17)
+    gy, gx = np.mgrid[0:24, 0:32]
+    jpegs, expected = [], []
+    for i in range(5):
+        img = np.clip(((gy * 2 + gx * 3 + 40 * i) % 256)[:, :, None]
+                      + rng.integers(-10, 10, size=(24, 32, 3)),
+                      0, 255).astype(np.uint8)
+        b, _ = _jpeg_bytes(img)
+        jpegs.append(b)
+        expected.append(MM.decode_jpeg_pixels(b))
+    avi = _avi_bytes(jpegs, 32, 24)
+    # header walk: real dimensions + frame count through raw_decoder
+    assert MM.raw_decoder(avi, "video") == (32, 24, 5, None)
+    assert MM.raw_decoder(avi, "image") == (32, 24, None, None)
+    n, got = MM.decode_avi_frames(avi)
+    assert n == 5 and sorted(got) == [0, 1, 2, 3, 4]
+    for i in range(5):
+        assert (got[i] == expected[i]).all(), i
+    # subset decode
+    n, got = MM.decode_avi_frames(avi, [0, 4])
+    assert sorted(got) == [0, 4]
+    assert (got[4] == expected[4]).all()
+    # a non-JPEG payload (raw DIB) is refused, never misdecoded
+    bad = _avi_bytes([b"\x00" * 100], 32, 24)
+    with pytest.raises(ValueError, match="codec-backed"):
+        MM.decode_avi_frames(bad)
+    # progressive MJPEG frames decode too (same T.81 decoder)
+    pimg = np.clip((gy * 5 + gx) % 256, 0, 255).astype(np.uint8)
+    pimg = np.repeat(pimg[:, :, None], 3, axis=2)
+    pb, _ = _jpeg_prog_bytes(pimg)
+    pavi = _avi_bytes([pb], 32, 24)
+    _, pg = MM.decode_avi_frames(pavi)
+    assert (pg[0] == MM.decode_jpeg_pixels(pb)).all()
+
+
+def test_frame_sample_raw_spark(spark):
+    """GIF and MJPEG-AVI video assets through the Arrow-batched Spark
+    frame_sample_raw path: the sampled frame hashes equal the local
+    per-frame decode, with the same floor(i*n/k) sampling plan as the
+    stub-keyed frame_sample."""
+    import hashlib as hl
+    rng = np.random.default_rng(18)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    gfr = [((np.arange(8 * 10).reshape(8, 10) % 4).astype(np.uint8), 0, 0)
+           for _ in range(6)]
+    gif = _gif_multi_bytes(gfr, pal, 10, 8)
+    gy, gx = np.mgrid[0:16, 0:16]
+    jpegs = []
+    for i in range(7):
+        img = np.repeat((((gy + gx) * (i + 1)) % 256)[:, :, None],
+                        3, axis=2).astype(np.uint8)
+        jpegs.append(_jpeg_bytes(img)[0])
+    avi = _avi_bytes(jpegs, 16, 16)
+    assets = spark.createDataFrame(
+        [("g", "video", bytearray(gif), "image/gif"),
+         ("a", "video", bytearray(avi), "video/avi"),
+         ("skip", "image", bytearray(jpegs[0]), "image/jpeg")],
+        MM.ASSET_SCHEMA)
+    rows = MM.frame_sample_raw(assets, k=3).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["asset_id"], {})[r["frame_idx"]] = r
+    assert set(by) == {"g", "a"}            # image rows filtered out
+    for aid, blob, n, dec in (("g", gif, 6, MM.decode_gif_frames),
+                              ("a", avi, 7, MM.decode_avi_frames)):
+        idxs = sorted({i * n // 3 for i in range(3)})
+        assert sorted(by[aid]) == idxs
+        _, local = dec(blob, idxs)
+        for i in idxs:
+            assert by[aid][i]["n_frames"] == n
+            assert by[aid][i]["frame_sha256"] == \
+                hl.sha256(local[i].tobytes()).hexdigest()
+
+
 def test_gif_decode_roundtrip():
     """REAL GIF decode (pure-Python LZW + numpy): pixel-exact roundtrip
     through a real dictionary-growing LZW stream, interlaced rows,
