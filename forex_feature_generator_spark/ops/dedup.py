@@ -206,11 +206,29 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     `round_stats`, when given a list, receives one dict per executed round
     ({"round", "changed", "sec"}) — the 10x scale probe reads it to record
     the convergence shape (rounds x one-job seconds) that dominates this
-    op's cost at scale."""
+    op's cost at scale.
+
+    Two per-round cost cuts (round-6 cold-cache profile — q38 was the
+    slowest bench query once persisted fragments stopped leaking between
+    queries):
+      * edges are cached ALREADY HASH-PARTITIONED on `dst` — the cached
+        scan advertises that outputPartitioning, so the per-round
+        edges⋈labels join reshuffles only the (small) labels table, never
+        the edge set. Cross-job shuffle files are not reused in Spark, so
+        without this the full edge set re-exchanged every round.
+      * the halving hop looks up the PREVIOUS round's checkpointed labels,
+        not the in-flight `new` frame: `new` referenced from both sides of
+        a self-join evaluates its whole join chain twice per round (the
+        same multi-evaluation class as the round-5 q62/q49 fixes — the two
+        exchanges key on different columns, so ReuseExchange can't fire).
+        prev[comp] is still a monotone contraction (labels only decrease),
+        so convergence to the component min is unchanged; it may cost one
+        extra cheap round in exchange for halving every round's work."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = pin(edges.union(edges.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
-                .distinct())
+                .distinct()
+                .repartition("dst"))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
@@ -225,8 +243,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                        F.least(F.col("comp"),
                                F.coalesce(F.col("nbr_min"), F.col("comp")))
                        .alias("comp")))
-        # pointer halving: follow the label one hop (labels are node ids)
-        lk = new.select(F.col("id").alias("__cid"), F.col("comp").alias("__cc"))
+        # pointer halving: follow the label one hop (labels are node ids).
+        # The hop table is the PREVIOUS round's checkpointed labels — cheap
+        # to rescan; hopping through `new` itself would re-execute the
+        # nbr-join chain a second time per round (see docstring).
+        lk = labels.select(F.col("id").alias("__cid"),
+                           F.col("comp").alias("__cc"))
         new = (new.join(lk, new.comp == lk.__cid, "left")
                .select("id", "comp_old",
                        F.least(F.col("comp"),
