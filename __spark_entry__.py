@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from forex_feature_generator_spark.engine import windows as WIN
 from forex_feature_generator_spark.ops import dedup as D
 from forex_feature_generator_spark.ops import lm as LM
+from forex_feature_generator_spark.ops.cache import pin
 from forex_feature_generator_spark.ops import multimodal as MM
 from forex_feature_generator_spark.ops import similarity as SIM
 from forex_feature_generator_spark.ops import text as TXT
@@ -402,15 +403,47 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q14_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on normalized text (ops/dedup.py)."""
+    """Exact dedup at two granularities as one entry: whole-document
+    hash-groupBy (mode='doc') ⊕ passage-level dedup over consecutive
+    20-word segments (mode='passage' — the RefinedWeb/C4 'line dedup'
+    analog; repeated boilerplate spans are the n_dupes >= 2 rows). Both
+    are the same 100 TB shape: one partial-aggregated shuffle on a 16-byte
+    key. `pos` is the passage index within the keeper doc (-1 for doc
+    mode)."""
     docs = _load(spark, sf_dir, "documents")
-    return D.exact_dedup(docs)
+    doc = (D.exact_dedup(docs)
+           .select(F.lit("doc").alias("mode"), "text_hash", "kept_id",
+                   F.lit(-1).cast("long").alias("pos"), "n_dupes"))
+    psg = (D.passage_dedup(docs, passage_words=20)
+           .select(F.lit("passage").alias("mode"),
+                   F.col("passage_hash").alias("text_hash"), "kept_id",
+                   F.col("pos").cast("long").alias("pos"), "n_dupes"))
+    return doc.unionByName(psg)
 
 
 SQL_Q14 = """
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
-       min(doc_id) AS kept_id, count(*) AS n_dupes
-FROM documents GROUP BY 1
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents),
+doc AS (
+  SELECT 'doc' AS mode, md5(t) AS text_hash,
+         min(doc_id) AS kept_id, -1::BIGINT AS pos, count(*) AS n_dupes
+  FROM norm GROUP BY 2),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm WHERE t <> ''),
+seg AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[(i - 1) * 20 + 1 : (i - 1) * 20 + 20], ' ') AS p
+  FROM w, unnest(range(1, cast(ceil(len(ws) / 20.0) AS BIGINT) + 1)) AS u(i)),
+first_occ AS (
+  SELECT md5(p) AS text_hash,
+         min(struct_pack(id := doc_id, pos := pos)) AS fo,
+         count(*) AS n_dupes
+  FROM seg GROUP BY 1)
+SELECT mode, text_hash, kept_id, pos, n_dupes FROM doc
+UNION ALL
+SELECT 'passage' AS mode, text_hash, fo.id AS kept_id,
+       fo.pos AS pos, n_dupes
+FROM first_occ
 """
 
 
@@ -2054,14 +2087,25 @@ def q15_pair_similarity(spark, sf_dir):
     """Every pairwise near-dup candidate generator as one entry: exact
     n-gram Jaccard (q15) ⊕ MinHash estimate (q16) ⊕ SimHash hamming (q17)
     ⊕ embedding cosine (q28); union + method discriminator, scores unified
-    to double."""
+    to double.
+
+    The exact-Jaccard and MinHash branches consume ONE pinned `shingles()`
+    frame (the normalize+split+explode stream is the shared upstream;
+    without the handoff each generator re-derived it from the parquet
+    scan — the round-5 multi-evaluation class, this time across ops)."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = pin(D.shingles(docs))
+
     def tag(df, method, score_col):
         return df.select(F.lit(method).alias("method"),
                          "id_a", "id_b",
                          F.col(score_col).cast("double").alias("score"))
-    return (tag(q15_ngram_jaccard(spark, sf_dir), "jaccard", "jaccard")
-            .unionByName(tag(q16_minhash(spark, sf_dir), "minhash",
-                             "est_jaccard"))
+    return (tag(D.ngram_jaccard_pairs(docs, threshold=0.08, shingles_df=sh),
+                "jaccard", "jaccard")
+            .unionByName(tag(D.minhash_lsh_pairs(docs, num_hashes=16,
+                                                 bands=8, threshold=0.05,
+                                                 shingles_df=sh),
+                             "minhash", "est_jaccard"))
             .unionByName(tag(q17_simhash(spark, sf_dir), "simhash",
                              "hamming"))
             .unionByName(tag(q28_embedding_dedup(spark, sf_dir), "embedding",

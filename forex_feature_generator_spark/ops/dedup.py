@@ -86,9 +86,48 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         F.explode(F.array_distinct(sh)).alias("shingle")))
 
 
+def passage_dedup(docs: DataFrame, passage_words: int = 20,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Passage-level exact dedup — the RefinedWeb/C4 'line dedup' analog for
+    corpora without line structure: the normalized text is segmented into
+    consecutive `passage_words`-word passages (last one may be short), each
+    passage is md5-keyed, and repeats are counted corpus-wide. Returns
+    (passage_hash, kept_id, pos, n_dupes): the earliest (doc, position)
+    occurrence per distinct passage and its corpus-wide occurrence count —
+    the rows n_dupes >= 2 are the removable repeated boilerplate spans.
+
+    Scale shape (100 TB): identical to exact_dedup — explode is narrow, the
+    only shuffle is ONE partial-aggregated hash groupBy on the 16-byte
+    passage key (never passage text); min-by (id, pos) struct picks the
+    canonical occurrence without a window/sort."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(words, i * passage_words + 1,
+                                     passage_words)).alias("p")))
+    exploded = (docs.filter(F.size(words) > 0)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(F.filter(segs, lambda s: s.p != ""))
+                        .alias("seg"))
+                .select("id", F.col("seg.pos").alias("pos"),
+                        F.md5("seg.p").alias("passage_hash")))
+    first = F.min_by(F.struct("id", "pos"),
+                     F.struct("id", "pos")).alias("first_occ")
+    return (exploded.groupBy("passage_hash")
+            .agg(first, F.count(F.lit(1)).alias("n_dupes"))
+            .select("passage_hash",
+                    F.col("first_occ.id").alias("kept_id"),
+                    F.col("first_occ.pos").alias("pos"),
+                    "n_dupes"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard >= threshold pairs (a < b) via shingle equi-self-join.
     Correctness baseline; quadratic in duplicate-cluster size — use
     minhash_lsh_pairs at scale.
@@ -98,8 +137,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     carries fixed 8-byte keys instead of n-word strings, and distinct
     shingles stay distinct up to the ~2^-64 per-pair collision rate of the
     64-bit hash (a collision would count one phantom shared shingle —
-    documented, not observable at any tested scale)."""
-    sh = pin(shingles(docs, text_col, id_col, n)
+    documented, not observable at any tested scale).
+
+    `shingles_df` lets a caller that runs several shingle-based generators
+    over the same corpus (e.g. the q15 union entry: exact + MinHash) pass
+    ONE precomputed/pinned `shingles()` frame instead of re-deriving the
+    normalize+split+explode stream per generator."""
+    sh = pin((shingles(docs, text_col, id_col, n)
+              if shingles_df is None else shingles_df)
              .select("id", F.xxhash64("shingle").alias("sh")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -126,7 +171,8 @@ def _shingle_int_hash(shingle_col):
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
-                       n: int = 3, seed: int = 42) -> DataFrame:
+                       n: int = 3, seed: int = 42,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
     (a_i * h(s) + b_i) mod p, with fixed deterministic (a_i, b_i).
 
@@ -135,7 +181,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     (map-side partial agg, single shuffle). A single nested-lambda expression
     would recompute md5 per hash function and blow up codegen."""
     params = minhash_params(num_hashes, seed)
-    sh = shingles(docs, text_col, id_col, n)
+    sh = (shingles(docs, text_col, id_col, n)
+          if shingles_df is None else shingles_df)
     hashed = (sh.withColumn("h", _shingle_int_hash(F.col("shingle")) % F.lit(MERSENNE_P))
               .drop("shingle"))
     mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
@@ -147,12 +194,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", n: int = 3,
+                      shingles_df: DataFrame | None = None) -> DataFrame:
     """LSH banding: split the signature into `bands` rows of num_hashes/bands,
     bucket-join on (band_idx, band_hash), then verify candidates with the
     estimated Jaccard (fraction of matching minhashes)."""
     rows_per_band = num_hashes // bands
-    sigs = pin(minhash_signatures(docs, num_hashes, text_col, id_col, n))
+    sigs = pin(minhash_signatures(docs, num_hashes, text_col, id_col, n,
+                                  shingles_df=shingles_df))
     banded = sigs.select(
         "id",
         F.explode(F.transform(

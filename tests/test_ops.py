@@ -624,6 +624,59 @@ def test_ccnet_buckets_property(spark):
             <= min(b["tail"])
 
 
+def test_passage_dedup_planted(spark):
+    """passage_dedup vs a literal Python reference: consecutive W-word
+    segments, earliest (doc, pos) keeper, corpus-wide occurrence counts —
+    including a short trailing passage and a passage repeated both across
+    docs and at different positions."""
+    W = 4
+    seg = "a b c d"          # one exact 4-word passage, planted 3 times
+    texts = {
+        1: f"{seg} e f g h tail one",          # pos 0 hit + short tail
+        2: f"x y z w {seg}",                   # pos 1 hit
+        3: "unique words only here now",
+        4: "",                                  # no passages at all
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    rows = {r.passage_hash: r
+            for r in D.passage_dedup(docs, passage_words=W).collect()}
+
+    def py_passages(t):
+        w = t.lower().split()
+        return [" ".join(w[i:i + W]) for i in range(0, len(w), W)]
+
+    import hashlib as _h
+    ref = {}
+    for did in sorted(texts):
+        for pos, p in enumerate(py_passages(texts[did])):
+            h = _h.md5(p.encode()).hexdigest()
+            ref.setdefault(h, {"kept": (did, pos), "n": 0})
+            ref[h]["n"] += 1
+    assert set(rows) == set(ref)
+    for h, r in ref.items():
+        assert (rows[h].kept_id, rows[h].pos) == r["kept"]
+        assert rows[h].n_dupes == r["n"]
+    planted = _h.md5(seg.encode()).hexdigest()
+    assert rows[planted].n_dupes == 2 and rows[planted].kept_id == 1
+
+
+def test_shared_shingles_param(spark, docs):
+    """Passing a precomputed shingles() frame must be result-identical to
+    the ops deriving their own (the q15 union entry's shared upstream)."""
+    sh = D.shingles(docs)
+    a = sorted(map(tuple, D.ngram_jaccard_pairs(docs, threshold=0.3).collect()))
+    b = sorted(map(tuple, D.ngram_jaccard_pairs(docs, threshold=0.3,
+                                                shingles_df=sh).collect()))
+    assert a == b
+    c = sorted(map(tuple, D.minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                                              threshold=0.05).collect()))
+    d = sorted(map(tuple, D.minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                                              threshold=0.05,
+                                              shingles_df=sh).collect()))
+    assert c == d
+
+
 def test_dedup_keep_best_float_score(spark):
     """Round-4 review fix: a double score column must keep its fractional
     part — the old long cast tied 0.73 vs 0.68 at 0 and the id tiebreak
