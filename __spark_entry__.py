@@ -1848,18 +1848,49 @@ FROM r
 
 
 def q55_incremental_dedup(spark, sf_dir):
-    """Incremental-crawl dedup (ops/dedup.py::incremental_dedup): docs with
-    doc_id < 250 stand in for the already-ingested corpus (its hash table),
-    docs >= 250 are the new batch; seen-hash membership is a left-anti join
-    BY KEY (never broadcast — the seen set is corpus-sized at 100 TB),
-    then the batch exact-dedups keep-min-id."""
+    """Incremental-crawl dedup at two strengths as one entry. mode='exact'
+    (ops/dedup.py::incremental_dedup): docs with doc_id < 250 stand in for
+    the already-ingested corpus (its hash table), docs >= 250 are the new
+    batch; seen-hash membership is a left-anti join BY KEY (never
+    broadcast — the seen set is corpus-sized at 100 TB), then the batch
+    exact-dedups keep-min-id. mode='near'
+    (ops/dedup.py::incremental_near_dedup): the same batch flagged against
+    the seen corpus by MinHash-LSH band collision + estimated-Jaccard
+    rerank — a KEY join of banded signatures, no corpus broadcast, no
+    batch x corpus product."""
     from forex_feature_generator_spark.ops import dedup as DD
     docs = _load(spark, sf_dir, "documents")
-    seen = DD.exact_dedup(docs.filter(F.col("doc_id") < 250))
-    return DD.incremental_dedup(docs.filter(F.col("doc_id") >= 250), seen)
+    seen_docs = docs.filter(F.col("doc_id") < 250)
+    new_docs = docs.filter(F.col("doc_id") >= 250)
+    seen = DD.exact_dedup(seen_docs)
+    exact = (DD.incremental_dedup(new_docs, seen)
+             .select(F.lit("exact").alias("mode"),
+                     F.col("text_hash").alias("key"),
+                     F.col("kept_id").alias("ref_id"),
+                     F.col("n_batch_dupes").alias("n"),
+                     F.lit(-1.0).alias("score")))
+    near = (DD.incremental_near_dedup(new_docs, seen_docs, num_hashes=16,
+                                      bands=8, threshold=0.05)
+            .select(F.lit("near").alias("mode"),
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.col("best_match_id").alias("ref_id"),
+                    F.col("n_seen_matches").alias("n"),
+                    F.col("best_est_jaccard").alias("score")))
+    return exact.unionByName(near)
 
 
-SQL_Q55 = """
+def _sql_q55() -> str:
+    from forex_feature_generator_spark.ops.dedup import MERSENNE_P, minhash_params
+    params = minhash_params(16)
+    h = f"({_hex2int_sql('md5(s)[1:8]')} % {MERSENNE_P}::BIGINT)"
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a}::BIGINT * {h} + {b}::BIGINT) % {MERSENNE_P}::BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    sig_list = ", ".join(f"m{i}" for i in range(16))
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, md5(concat_ws(',', m{2 * bi}::VARCHAR, m{2 * bi + 1}::VARCHAR)) AS bhash, [{sig_list}] AS sig FROM sigs"
+        for bi in range(8))
+    return f"""
 WITH seen AS (
   SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
          AS text_hash
@@ -1867,11 +1898,40 @@ WITH seen AS (
 batch AS (
   SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
          AS text_hash, doc_id
-  FROM documents WHERE doc_id >= 250)
-SELECT b.text_hash, min(b.doc_id) AS kept_id,
-       count(*) AS n_batch_dupes
+  FROM documents WHERE doc_id >= 250),
+w AS (
+  SELECT doc_id AS id, doc_id >= 250 AS is_new,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+shs AS (
+  SELECT id, is_new, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+  FROM w),
+sigs AS (SELECT id, is_new, {mins} FROM shs),
+banded0 AS ({band_rows.replace("SELECT id,", "SELECT id, is_new,")}),
+cand AS (
+  SELECT DISTINCT x.id AS new_id, y.id AS seen_id, x.sig AS sig_n, y.sig AS sig_s
+  FROM banded0 x JOIN banded0 y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.is_new AND NOT y.is_new),
+est AS (
+  SELECT new_id, seen_id,
+         len(list_filter(range(1, 17), i -> sig_n[i] = sig_s[i])) / 16.0 AS est
+  FROM cand
+  WHERE len(list_filter(range(1, 17), i -> sig_n[i] = sig_s[i])) / 16.0 >= 0.05),
+near AS (
+  SELECT new_id, count(*) AS n_seen_matches,
+         (min(struct_pack(neg_est := -est, sid := seen_id))).sid AS best_match_id,
+         round(max(est), 6) AS best_est_jaccard
+  FROM est GROUP BY new_id)
+SELECT 'exact' AS mode, b.text_hash AS key, min(b.doc_id) AS ref_id,
+       count(*) AS n, (-1.0)::DOUBLE AS score
 FROM batch b ANTI JOIN seen s ON b.text_hash = s.text_hash
 GROUP BY b.text_hash
+UNION ALL
+SELECT 'near' AS mode, new_id::VARCHAR AS key, best_match_id AS ref_id,
+       n_seen_matches AS n, best_est_jaccard AS score
+FROM near
 """
 
 
@@ -2357,7 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "q52_unigram_kl": SQL_Q52,
         "q53_shard_assign": SQL_Q53,
         "q54_token_sequences": _sql_q54(),
-        "q55_incremental_dedup": SQL_Q55,
+        "q55_incremental_dedup": _sql_q55(),
         "q56_chunk_sequences": _sql_q56(),
         "q58_gopher_rules": SQL_Q58,
         "q59_ccnet_buckets": SQL_Q59,

@@ -75,6 +75,48 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
                  F.count(F.lit(1)).alias("n_batch_dupes")))
 
 
+def incremental_near_dedup(new_docs: DataFrame, seen_docs: DataFrame,
+                           num_hashes: int = 16, bands: int = 8,
+                           threshold: float = 0.5, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Incremental-crawl NEAR-dup: flag new-batch docs whose MinHash
+    signature shares an LSH band bucket with the already-ingested corpus
+    AND whose estimated Jaccard clears `threshold`. Returns one row per
+    flagged new doc: (doc_id, n_seen_matches, best_match_id,
+    best_est_jaccard) — best match is the highest estimate, min seen id
+    on ties.
+
+    Scale shape (100 TB): the seen side is corpus-sized, so candidates
+    come from a KEY join of the two banded tables on (band, band_hash) —
+    never a broadcast of the corpus, never new x seen cartesian; the
+    rerank touches candidates only; the final per-new-doc reduction is one
+    partial-aggregated groupBy. In a production loop the seen signatures
+    are computed once at ingest and stored — here they are derived in the
+    same job for the self-contained oracle check."""
+    sn = pin(minhash_signatures(new_docs, num_hashes, text_col, id_col, n))
+    ss = pin(minhash_signatures(seen_docs, num_hashes, text_col, id_col, n))
+    cand = (_banded(sn, num_hashes, bands).alias("x")
+            .join(_banded(ss, num_hashes, bands).alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bhash") == F.col("y.bhash")))
+            .select(F.col("x.id").alias("new_id"),
+                    F.col("y.id").alias("seen_id"))
+            .distinct())
+    est = (cand.join(sn.select(F.col("id").alias("new_id"),
+                               F.col("sig").alias("sig_n")), "new_id")
+           .join(ss.select(F.col("id").alias("seen_id"),
+                           F.col("sig").alias("sig_s")), "seen_id")
+           .withColumn("est", _est_jaccard(F.col("sig_n"), F.col("sig_s"),
+                                           num_hashes))
+           .filter(F.col("est") >= threshold))
+    return (est.groupBy(F.col("new_id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_seen_matches"),
+                 F.min_by("seen_id",
+                          F.struct((-F.col("est")).alias("neg_est"),
+                                   F.col("seen_id"))).alias("best_match_id"),
+                 F.round(F.max("est"), 6).alias("best_est_jaccard")))
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (id, shingle)."""
@@ -192,17 +234,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                                       for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id", n: int = 3,
-                      shingles_df: DataFrame | None = None) -> DataFrame:
-    """LSH banding: split the signature into `bands` rows of num_hashes/bands,
-    bucket-join on (band_idx, band_hash), then verify candidates with the
-    estimated Jaccard (fraction of matching minhashes)."""
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bhash) — md5 of each comma-joined signature band."""
     rows_per_band = num_hashes // bands
-    sigs = pin(minhash_signatures(docs, num_hashes, text_col, id_col, n,
-                                  shingles_df=shingles_df))
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -212,6 +247,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                     F.slice("sig", bi * rows_per_band + 1, rows_per_band),
                     lambda v: v.cast("string")))).alias("bhash")))).alias("bb")
     ).select("id", "bb.band", "bb.bhash")
+
+
+def _est_jaccard(sig_a, sig_b, num_hashes: int):
+    return (F.size(F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b),
+                            lambda m: m)) / F.lit(float(num_hashes)))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      shingles_df: DataFrame | None = None) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows of num_hashes/bands,
+    bucket-join on (band_idx, band_hash), then verify candidates with the
+    estimated Jaccard (fraction of matching minhashes)."""
+    sigs = pin(minhash_signatures(docs, num_hashes, text_col, id_col, n,
+                                  shingles_df=shingles_df))
+    banded = _banded(sigs, num_hashes, bands)
     cand = (banded.alias("x").join(
                 banded.alias("y"),
                 (F.col("x.band") == F.col("y.band"))

@@ -624,6 +624,23 @@ def test_ccnet_buckets_property(spark):
             <= min(b["tail"])
 
 
+def test_incremental_near_dedup_planted(spark, docs):
+    """The planted near-dups (docs 100+i copy docs 0-9 with 2 substitutions,
+    true J ~= 0.5) must be flagged when the seen/new split severs exactly
+    those pairs; the best match must be the planted source doc, and clean
+    new docs must not appear."""
+    seen = docs.filter(F.col("doc_id") < 100)   # originals
+    new = docs.filter(F.col("doc_id") >= 100)   # the 10 near-copies
+    rows = {r.doc_id: r for r in D.incremental_near_dedup(
+        new, seen, num_hashes=16, bands=8, threshold=0.3).collect()}
+    hits = sum(1 for i in range(10)
+               if 100 + i in rows and rows[100 + i].best_match_id == i)
+    assert hits >= 8          # LSH recall on J~0.5 pairs with 8 bands of 2
+    for did, r in rows.items():
+        assert 100 <= did < 110 and r.n_seen_matches >= 1
+        assert 0 <= r.best_est_jaccard <= 1
+
+
 def test_passage_dedup_planted(spark):
     """passage_dedup vs a literal Python reference: consecutive W-word
     segments, earliest (doc, pos) keeper, corpus-wide occurrence counts —
