@@ -403,13 +403,17 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q14_dedup_exact(spark, sf_dir):
-    """Exact dedup at two granularities as one entry: whole-document
+    """Exact dedup at three granularities as one entry: whole-document
     hash-groupBy (mode='doc') ⊕ passage-level dedup over consecutive
     20-word segments (mode='passage' — the RefinedWeb/C4 'line dedup'
-    analog; repeated boilerplate spans are the n_dupes >= 2 rows). Both
-    are the same 100 TB shape: one partial-aggregated shuffle on a 16-byte
-    key. `pos` is the passage index within the keeper doc (-1 for doc
-    mode)."""
+    analog; repeated boilerplate spans are the n_dupes >= 2 rows) ⊕ the
+    actual CLEANING step (mode='clean' — each doc rebuilt keeping only
+    corpus-wide first-occurrence passages; hash-verified against the
+    oracle's reconstruction). Unified columns per mode:
+      doc:     (text_hash, kept_id,       pos=-1,     n_dupes)
+      passage: (passage_hash→text_hash, kept_id, pos, n_dupes)
+      clean:   (md5(clean_text)→text_hash, doc_id→kept_id,
+                n_kept→pos, n_removed→n_dupes)"""
     docs = _load(spark, sf_dir, "documents")
     doc = (D.exact_dedup(docs)
            .select(F.lit("doc").alias("mode"), "text_hash", "kept_id",
@@ -418,7 +422,13 @@ def q14_dedup_exact(spark, sf_dir):
            .select(F.lit("passage").alias("mode"),
                    F.col("passage_hash").alias("text_hash"), "kept_id",
                    F.col("pos").cast("long").alias("pos"), "n_dupes"))
-    return doc.unionByName(psg)
+    cln = (D.remove_repeated_passages(docs, passage_words=20)
+           .select(F.lit("clean").alias("mode"),
+                   F.md5("clean_text").alias("text_hash"),
+                   F.col("doc_id").alias("kept_id"),
+                   F.col("n_kept").alias("pos"),
+                   F.col("n_removed").alias("n_dupes")))
+    return doc.unionByName(psg).unionByName(cln)
 
 
 SQL_Q14 = """
@@ -438,12 +448,27 @@ first_occ AS (
   SELECT md5(p) AS text_hash,
          min(struct_pack(id := doc_id, pos := pos)) AS fo,
          count(*) AS n_dupes
-  FROM seg GROUP BY 1)
+  FROM seg GROUP BY 1),
+clean AS (
+  SELECT s.doc_id,
+         coalesce(string_agg(s.p, ' ' ORDER BY s.pos)
+                  FILTER (WHERE s.doc_id = f.fo.id AND s.pos = f.fo.pos),
+                  '') AS clean_text,
+         count(*) FILTER (WHERE s.doc_id = f.fo.id AND s.pos = f.fo.pos)
+           AS n_kept,
+         count(*) FILTER (WHERE NOT (s.doc_id = f.fo.id AND s.pos = f.fo.pos))
+           AS n_removed
+  FROM seg s JOIN first_occ f ON md5(s.p) = f.text_hash
+  GROUP BY s.doc_id)
 SELECT mode, text_hash, kept_id, pos, n_dupes FROM doc
 UNION ALL
 SELECT 'passage' AS mode, text_hash, fo.id AS kept_id,
        fo.pos AS pos, n_dupes
 FROM first_occ
+UNION ALL
+SELECT 'clean' AS mode, md5(clean_text) AS text_hash, doc_id AS kept_id,
+       n_kept AS pos, n_removed AS n_dupes
+FROM clean
 """
 
 

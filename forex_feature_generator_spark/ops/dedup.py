@@ -75,6 +75,62 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
                  F.count(F.lit(1)).alias("n_batch_dupes")))
 
 
+def remove_repeated_passages(docs: DataFrame, passage_words: int = 20,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The RefinedWeb/C4 cleaning step on top of `passage_dedup`: rebuild
+    each document keeping only passages that are their corpus-wide FIRST
+    occurrence (unique passages always survive; every later repeat of a
+    boilerplate span — across docs or within one — is dropped). Returns
+    (doc_id, clean_text, n_kept, n_removed) for every doc with at least
+    one passage; `clean_text` is the pos-ordered concatenation of the
+    surviving passages of the NORMALIZED text.
+
+    Scale shape (100 TB): ONE pinned passage stream feeds both branches
+    (first-occurrence agg + keep/drop join — separate derivations would
+    re-run the explode per branch); the first-occurrence side shuffles
+    only (16-byte hash, id, pos) — column pruning drops the text; passage
+    text rides the hash-keyed keep/drop join and the final groupBy(doc)
+    reconstruction — O(corpus) like any text transform, partial-agged, no
+    window/sort (order restored by sort_array on (pos, passage) structs
+    inside the reduced row)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(words, i * passage_words + 1,
+                                     passage_words)).alias("p")))
+    passages = pin(docs.select(F.col(id_col).alias("id"),
+                               F.explode(F.filter(segs, lambda s: s.p != ""))
+                               .alias("seg"))
+                   .select("id", F.col("seg.pos").alias("pos"),
+                           F.col("seg.p").alias("p"),
+                           F.md5("seg.p").alias("passage_hash")))
+    # first-occurrence table derived from the SAME pinned stream (not a
+    # passage_dedup call — that would re-run the explode per branch); the
+    # groupBy shuffles only (hash, id, pos), never text
+    first = (passages.groupBy("passage_hash")
+             .agg(F.min_by(F.struct("id", "pos"),
+                           F.struct("id", "pos")).alias("fo"))
+             .select("passage_hash", F.col("fo.id").alias("f_id"),
+                     F.col("fo.pos").alias("f_pos")))
+    keep = (passages.join(first, "passage_hash")
+            .withColumn("is_first", (F.col("id") == F.col("f_id"))
+                        & (F.col("pos") == F.col("f_pos"))))
+    return (keep.groupBy(F.col("id").alias(id_col))
+            .agg(F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.when(F.col("is_first"),
+                                F.struct("pos", "p")))),
+                     lambda s: s.p)).alias("clean_text"),
+                 F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("is_first"), 0).otherwise(1))
+                 .cast("long").alias("n_removed")))
+
+
 def incremental_near_dedup(new_docs: DataFrame, seen_docs: DataFrame,
                            num_hashes: int = 16, bands: int = 8,
                            threshold: float = 0.5, text_col: str = "text",

@@ -678,6 +678,52 @@ def test_passage_dedup_planted(spark):
     assert rows[planted].n_dupes == 2 and rows[planted].kept_id == 1
 
 
+def test_remove_repeated_passages(spark):
+    """The cleaning step vs a literal Python reference: later repeats of a
+    passage (across docs AND within one doc) are dropped, first occurrence
+    and unique passages survive in position order."""
+    W = 3
+    boiler = "x y z"
+    texts = {
+        1: f"{boiler} a b c {boiler}",      # keeper at pos 0; self-repeat pos 2 dropped
+        2: f"{boiler} d e f",               # cross-doc repeat dropped
+        3: "g h i j",                       # untouched (unique, short tail)
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    got = {r.doc_id: r for r in
+           D.remove_repeated_passages(docs, passage_words=W).collect()}
+
+    def py_clean(all_texts):
+        first = {}
+        for did in sorted(all_texts):
+            w = all_texts[did].split()
+            for pos in range(0, len(w), W):
+                p = " ".join(w[pos:pos + W])
+                first.setdefault(p, (did, pos // W))
+        out = {}
+        for did in sorted(all_texts):
+            w = all_texts[did].split()
+            kept, removed = [], 0
+            for pos in range(0, len(w), W):
+                p = " ".join(w[pos:pos + W])
+                if first[p] == (did, pos // W):
+                    kept.append(p)
+                else:
+                    removed += 1
+            out[did] = (" ".join(kept), len(kept), removed)
+        return out
+
+    ref = py_clean(texts)
+    assert set(got) == set(ref)
+    for did, (ct, nk, nr) in ref.items():
+        assert got[did].clean_text == ct, (did, got[did].clean_text, ct)
+        assert (got[did].n_kept, got[did].n_removed) == (nk, nr)
+    assert got[1].clean_text == f"{boiler} a b c"   # self-repeat dropped
+    assert got[2].clean_text == "d e f"             # boilerplate stripped
+    assert got[3].clean_text == "g h i j"
+
+
 def test_shared_shingles_param(spark, docs):
     """Passing a precomputed shingles() frame must be result-identical to
     the ops deriving their own (the q15 union entry's shared upstream)."""
