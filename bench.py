@@ -87,6 +87,28 @@ SAMEPROTO_QUERY_TABLE = os.path.join(
     "BENCH", "round6_bench_run1.json")
 QUERY_REGRESSION_FLAG = 1.5
 
+# Entries whose WORK grew or shrank by design since the tables above were
+# recorded — a flagged ratio on these is expected, not a regression.
+# Keyed by query name; emitted verbatim as `queries_expected_changes`.
+QUERY_EXPECTED_CHANGES = {
+    "q14_dedup_exact": (
+        "grew from 1 to 3 modes late round 6: + passage-level dedup and "
+        "repeated-passage REMOVAL (text reconstruction) — ~3x the work by "
+        "design"),
+    "q55_incremental_dedup": (
+        "grew from 1 to 2 modes late round 6: + MinHash-LSH near-dup vs "
+        "the seen corpus (two signature builds + banded key join) on top "
+        "of the exact anti-join"),
+    "q15_pair_similarity": (
+        "late round 6: exact-Jaccard and MinHash branches now share one "
+        "pinned shingles() frame — expected FASTER (~20%)"),
+    "q38_dedup_clusters": (
+        "late round 6: edges cached pre-partitioned on the join key + "
+        "halving hop reads prior checkpoint (no double evaluation) — "
+        "expected faster per round, possibly one extra cheap round"),
+    "q44_dedup_keep_best": "same dedup_clusters change as q38",
+}
+
 
 def _session(cores: int, app: str):
     from forex_feature_generator_spark.engine.session import get_spark
@@ -566,6 +588,12 @@ def _queries_vs_prev(queries: dict, anchor_sec) -> dict | None:
     if same is not None and "ops caches released" in same.pop(
             "_prev_protocol_str"):
         out.update(same)
+    flagged = set(out.get("queries_regressed", []) +
+                  out.get("queries_regressed_vs_sameprotocol", []))
+    expected = {k: v for k, v in QUERY_EXPECTED_CHANGES.items()
+                if k in flagged or k in queries}
+    if expected:
+        out["queries_expected_changes"] = expected
     if "ops caches released" not in prev_protocol:
         out["queries_regressed_note"] = (
             "prior-round table predates the cache-hygiene protocol change: "
