@@ -2268,20 +2268,62 @@ FROM ({_sql_q23()}) d JOIN ({SQL_Q22}) m ON m.asset_id = d.asset_id
 
 
 def q31_samplers(spark, sf_dir):
-    """Per-stratum samplers: proportional stratified (q31) ⊕ exactly-k per
-    stratum (q57); union + method discriminator."""
+    """Data-selection samplers, four discriminated methods: proportional
+    stratified (q31) ⊕ exactly-k per stratum (q57) ⊕ DSIR importance
+    selection (hashed-unigram LLR vs the src0 target domain, top-100 of
+    the pool — ops/sampling.py::dsir_select) ⊕ per-domain contribution cap
+    (8000 chars per source, longest-first — ops/sampling.py::domain_cap)."""
+    from forex_feature_generator_spark.ops import sampling as SMP
+
     def tag(df, method):
         return df.select(F.lit(method).alias("method"), "doc_id", "lang")
+    docs = _load(spark, sf_dir, "documents")
+    dsir = SMP.dsir_select(docs.filter(F.col("source") != "src0"),
+                           docs.filter(F.col("source") == "src0"), k=100)
+    capped = SMP.domain_cap(docs, cap=8000).filter("selected")
     return (tag(q31_stratified_sample(spark, sf_dir), "stratified")
             .unionByName(tag(q57_fixed_size_sample(spark, sf_dir),
-                             "fixed_k")))
+                             "fixed_k"))
+            .unionByName(tag(dsir, "dsir"))
+            .unionByName(tag(capped, "domain_cap")))
 
 
 def _sql_q31_samplers() -> str:
+    bkt = f"({_hex2int_sql('md5(w)', 8)} % 4096)"
+    words = ("SELECT doc_id, source, unnest(string_split(trim("
+             "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) "
+             "AS w FROM documents")
     return f"""
+WITH wd AS ({words}),
+bk AS (SELECT doc_id, source, {bkt} AS bkt FROM wd WHERE w <> ''),
+tc AS (SELECT bkt, count(*)::DOUBLE AS tc FROM bk
+       WHERE source = 'src0' GROUP BY bkt),
+rc AS (SELECT bkt, count(*)::DOUBLE AS rc FROM bk
+       WHERE source <> 'src0' GROUP BY bkt),
+tot AS (SELECT (SELECT sum(tc) FROM tc) AS t, (SELECT sum(rc) FROM rc) AS r),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(ln((coalesce(tc.tc, 0) + 1.0) / (tot.t + 4096.0))
+                 - ln((rc.rc + 1.0) / (tot.r + 4096.0))), 6) AS s
+  FROM bk p LEFT JOIN tc ON tc.bkt = p.bkt JOIN rc ON rc.bkt = p.bkt
+       CROSS JOIN tot
+  WHERE p.source <> 'src0' GROUP BY p.doc_id),
+topk AS (SELECT doc_id FROM scored ORDER BY s DESC, doc_id ASC LIMIT 100),
+capped AS (
+  SELECT doc_id, lang,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+  FROM documents)
 SELECT 'stratified' AS method, doc_id, lang FROM ({SQL_Q31})
 UNION ALL
 SELECT 'fixed_k' AS method, doc_id, lang FROM ({SQL_Q57})
+UNION ALL
+SELECT 'dsir' AS method, d.doc_id, d.lang
+FROM documents d JOIN topk ON topk.doc_id = d.doc_id
+UNION ALL
+SELECT 'domain_cap' AS method, doc_id, lang FROM capped WHERE cum <= 8000
 """
 
 

@@ -210,6 +210,102 @@ def mixture_weights(df: DataFrame, group_cols: list[str],
                      F.round(target / share, 6).alias("weight")))
 
 
+def dsir_select(pool: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 4096, alpha: float = 1.0) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): score each
+    pool document by the log-likelihood ratio of a hashed-unigram model of
+    the TARGET domain vs one of the RAW pool, and keep the top-k. The
+    "pick the web pages that look like Wikipedia" curation step.
+
+    Both models are hashed n-gram count tables over `n_buckets` buckets
+    (md5-prefix bucket hash — the engine-portable hash every oracle shares)
+    with Laplace smoothing `alpha`. Per-word contribution:
+
+        ln((ct_target(b)+a)/(T+a*B)) - ln((ct_raw(b)+a)/(R+a*B))
+
+    summed over the doc's word OCCURRENCES (a multiset, per the paper's
+    bag-of-hashed-ngrams model), rounded to 6 before ranking so Spark and
+    the DuckDB oracle order identically; ties by id.
+
+    Scale shape (100 TB): the two count tables are bounded at B rows each
+    (one partial-agg shuffle per corpus — the classic count-table build);
+    scoring joins the pool's word-bucket stream against the BROADCAST
+    B-row tables and partial-aggregates per doc (one doc_id shuffle of
+    (id, score) pairs only). Selection is orderBy().limit(k) — Catalyst
+    plans TakeOrderedAndProject (per-partition top-k + driver merge of
+    P*k rows), never a global sort. The k winners broadcast-join back to
+    the pool for their metadata. The pool's word-bucket frame is pinned
+    (two consumers: raw counts + scoring) — at 100 TB drop the pin and
+    pay the second tokenization scan instead of caching a corpus-sized
+    intermediate."""
+    from .dedup import normalize_text
+
+    def buckets(df, extra=()):
+        w = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w")
+        d = df.select(*extra, w).filter(F.col("__w") != "")
+        bkt = (F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long")
+               % F.lit(n_buckets))
+        return d.select(*extra, bkt.alias("__bkt"))
+
+    pb = pin(buckets(pool, extra=(id_col,)))
+    tc = pin(buckets(target).groupBy("__bkt")
+             .agg(F.count(F.lit(1)).alias("__tc")))
+    rc = pin(pb.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__rc")))
+    tot = (tc.agg(F.sum("__tc").cast("double").alias("__T"))
+           .crossJoin(rc.agg(F.sum("__rc").cast("double").alias("__R"))))
+    aB = float(alpha) * n_buckets
+    contrib = (
+        F.log((F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(float(alpha)))
+              / (F.col("__T") + F.lit(aB)))
+        - F.log((F.col("__rc") + F.lit(float(alpha)))
+                / (F.col("__R") + F.lit(aB))))
+    scored = (pb.join(F.broadcast(tc), "__bkt", "left")
+              .join(F.broadcast(rc), "__bkt")
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg(F.round(F.sum(contrib), 6).alias("dsir_score")))
+    topk = (scored.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+            .limit(int(k)))
+    return pool.join(F.broadcast(topk), id_col)
+
+
+def domain_cap(df: DataFrame, cap: int, domain_col: str = "source",
+               weight_col: str = "n_chars",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain contribution cap (the C4/RefinedWeb "no single host
+    dominates the corpus" curation rule): within each domain, walk docs in
+    (weight desc, id asc) order — longer docs first, total order — and keep
+    them while the domain's running weight stays within `cap`. Returns the
+    input columns + a `selected` boolean.
+
+    Scale shape (100 TB): a G-row per-domain totals aggregate routes rows
+    first — domains whose TOTAL fits the cap bypass the sort entirely
+    (selected=true, no shuffle); only over-cap domains flow through the
+    per-domain cumsum window, whose partitions are bounded by domain size.
+    Web corpora are head-heavy: the bypass keeps the long tail of small
+    hosts out of the window exchange, at the price of a second scan of the
+    (columnar, pruned) source — cheaper than shuffling the whole corpus
+    on a skewed domain key. A head domain too large for one window task
+    is exactly select_token_budget's shape: run its range-partitioned
+    cumsum per giant domain instead."""
+    from pyspark.sql import Window
+    g = df.groupBy(domain_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__dtot"))
+    d = df.join(F.broadcast(g), domain_col)
+    under = (d.filter(F.col("__dtot") <= cap)
+             .withColumn("selected", F.lit(True)))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    over = (d.filter(F.col("__dtot") > cap)
+            .withColumn("__cum", F.sum(F.col(weight_col).cast("long")).over(w))
+            .withColumn("selected", F.col("__cum") <= cap)
+            .drop("__cum"))
+    return under.unionByName(over).drop("__dtot")
+
+
 def sql_unit_hash(id_expr: str, seed: int, hex2int_15: str) -> str:
     """DuckDB mirror of _unit_hash for oracle construction; hex2int_15 is the
     caller's 15-hex-char conversion of md5('seed:' || id)."""

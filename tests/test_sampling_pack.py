@@ -130,3 +130,81 @@ def test_chunk_sequences(spark):
     # consecutive chunks overlap by exactly 2 and cover all ids
     covered = sorted({t for _, toks, _ in got["c"] for t in toks})
     assert covered == list(range(20))
+
+def _py_dsir_scores(pool_texts, target_texts, n_buckets=4096, alpha=1.0):
+    """Hand-rolled reference for dsir_select's hashed-unigram LLR."""
+    import hashlib
+    import math
+
+    def words(t):
+        import re
+        return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+
+    tc, rc = {}, {}
+    for t in target_texts:
+        for w in words(t):
+            tc[bkt(w)] = tc.get(bkt(w), 0) + 1
+    for _id, t in pool_texts:
+        for w in words(t):
+            rc[bkt(w)] = rc.get(bkt(w), 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    aB = alpha * n_buckets
+    scores = {}
+    for _id, t in pool_texts:
+        s = 0.0
+        for w in words(t):
+            b = bkt(w)
+            s += (math.log((tc.get(b, 0) + alpha) / (T + aB))
+                  - math.log((rc[b] + alpha) / (R + aB)))
+        scores[_id] = round(s, 6)
+    return scores
+
+
+def test_dsir_select_matches_reference(spark):
+    # target domain speaks "wiki"; half the pool does too, half speaks "web"
+    target = spark.createDataFrame(pd.DataFrame(
+        [(1000 + i, "wiki article history science reference citation")
+         for i in range(5)], columns=["doc_id", "text"]))
+    pool_rows = ([(i, "wiki science reference history notes") for i in range(6)]
+                 + [(10 + i, "click buy now cheap deal offer spam") for i in range(6)])
+    pool = spark.createDataFrame(pd.DataFrame(pool_rows, columns=["doc_id", "text"]))
+    out = (SMP.dsir_select(pool, target, k=6)
+           .select("doc_id", "dsir_score").toPandas())
+    got = dict(zip(out["doc_id"], out["dsir_score"]))
+    ref = _py_dsir_scores(
+        pool_rows, ["wiki article history science reference citation"] * 5)
+    # top-6 must be exactly the wiki-like docs, scores matching the reference
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert abs(got[i] - ref[i]) < 2e-6
+    # wiki-like docs outscore web-spam docs in the reference too
+    assert min(ref[i] for i in range(6)) > max(ref[10 + i] for i in range(6))
+
+
+def test_domain_cap_paths(spark):
+    rows = [
+        # domain A total 900 <= cap -> bypass, all selected
+        (0, "a", "en", "A", 400), (1, "a", "en", "A", 500),
+        # domain B total 1400 > cap: longest-first 700 kept; 400 would put
+        # the running total at 1100 > cap -> dropped, as is the 300
+        (10, "b", "en", "B", 700), (11, "b", "en", "B", 400),
+        (12, "b", "en", "B", 300),
+        # domain C: first doc exactly == cap -> kept; second dropped
+        (20, "c", "en", "C", 1000), (21, "c", "en", "C", 1),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = SMP.domain_cap(docs, cap=1000).toPandas().set_index("doc_id")
+    assert len(out) == len(rows)                     # all rows, flag column
+    sel = set(out[out["selected"]].index)
+    assert sel == {0, 1, 10, 20}
+    # ties inside a domain break by doc_id: equal weights keep the lower id
+    tie = spark.createDataFrame(pd.DataFrame(
+        [(0, "t", "en", "D", 600), (1, "t", "en", "D", 600)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    tsel = set(SMP.domain_cap(tie, cap=600).toPandas()
+               .query("selected")["doc_id"])
+    assert tsel == {0}
