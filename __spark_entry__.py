@@ -2268,11 +2268,13 @@ FROM ({_sql_q23()}) d JOIN ({SQL_Q22}) m ON m.asset_id = d.asset_id
 
 
 def q31_samplers(spark, sf_dir):
-    """Data-selection samplers, four discriminated methods: proportional
+    """Data-selection samplers, five discriminated methods: proportional
     stratified (q31) ⊕ exactly-k per stratum (q57) ⊕ DSIR importance
     selection (hashed-unigram LLR vs the src0 target domain, top-100 of
     the pool — ops/sampling.py::dsir_select) ⊕ per-domain contribution cap
-    (8000 chars per source, longest-first — ops/sampling.py::domain_cap)."""
+    (8000 chars per source, longest-first — ops/sampling.py::domain_cap)
+    ⊕ Efraimidis-Spirakis weighted sampling without replacement (k=50,
+    n_chars weights — ops/sampling.py::weighted_sample)."""
     from forex_feature_generator_spark.ops import sampling as SMP
 
     def tag(df, method):
@@ -2285,7 +2287,8 @@ def q31_samplers(spark, sf_dir):
             .unionByName(tag(q57_fixed_size_sample(spark, sf_dir),
                              "fixed_k"))
             .unionByName(tag(dsir, "dsir"))
-            .unionByName(tag(capped, "domain_cap")))
+            .unionByName(tag(capped, "domain_cap"))
+            .unionByName(tag(SMP.weighted_sample(docs, k=50), "weighted")))
 
 
 def _sql_q31_samplers() -> str:
@@ -2324,6 +2327,11 @@ SELECT 'dsir' AS method, d.doc_id, d.lang
 FROM documents d JOIN topk ON topk.doc_id = d.doc_id
 UNION ALL
 SELECT 'domain_cap' AS method, doc_id, lang FROM capped WHERE cum <= 8000
+UNION ALL
+SELECT 'weighted' AS method, doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ln(({_sql_hash()} + 0.5) / 1000000.0) / n_chars AS es_key
+  FROM documents ORDER BY es_key DESC, doc_id ASC LIMIT 50)
 """
 
 

@@ -107,6 +107,11 @@ QUERY_EXPECTED_CHANGES = {
         "halving hop reads prior checkpoint (no double evaluation) — "
         "expected faster per round, possibly one extra cheap round"),
     "q44_dedup_keep_best": "same dedup_clusters change as q38",
+    "q31_samplers": (
+        "grew from 2 to 4 modes late round 6: + DSIR importance selection "
+        "(two corpus tokenization passes into hashed count tables + a "
+        "scoring join) and per-domain contribution cap — more work by "
+        "design"),
 }
 
 

@@ -306,6 +306,30 @@ def domain_cap(df: DataFrame, cap: int, domain_col: str = "source",
     return under.unionByName(over).drop("__dtot")
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str = "n_chars",
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k winners, inclusion odds
+    proportional to `weight_col` — Efraimidis & Spirakis 2006 (public
+    paper: "Weighted random sampling with a reservoir"): each row draws
+    u ~ U(0,1) and the k largest u^(1/w) win. Here u is the deterministic
+    md5 unit hash of (seed, id), so the draw is reproducible, oracle-
+    checkable, and stable under re-runs — new rows never disturb old
+    draws, they only compete for the k slots.
+
+    Scale shape (100 TB): the key is a pure projection; selection is
+    orderBy().limit(k) which Catalyst plans as TakeOrderedAndProject
+    (per-partition top-k heap + driver merge of P*k rows) — no global
+    sort, no shuffle of the corpus. Comparing ln(u)/w (monotone in
+    u^(1/w)) keeps the key in a well-conditioned double range."""
+    u = ((_unit_hash(id_col, seed).cast("double") + F.lit(0.5))
+         / F.lit(float(HASH_BUCKETS)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.withColumn("__es_key", key)
+            .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .drop("__es_key"))
+
+
 def sql_unit_hash(id_expr: str, seed: int, hex2int_15: str) -> str:
     """DuckDB mirror of _unit_hash for oracle construction; hex2int_15 is the
     caller's 15-hex-char conversion of md5('seed:' || id)."""

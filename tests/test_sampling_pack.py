@@ -208,3 +208,25 @@ def test_domain_cap_paths(spark):
     tsel = set(SMP.domain_cap(tie, cap=600).toPandas()
                .query("selected")["doc_id"])
     assert tsel == {0}
+
+
+def test_weighted_sample_reference_and_nesting(spark):
+    """Efraimidis-Spirakis by deterministic hash: top-k set must equal a
+    hand-rolled md5 reference; top-k sets nest; heavier rows win more."""
+    import hashlib
+    import math
+    rows = [(i, "t", "en", "S", (1 if i < 200 else 100)) for i in range(400)]
+    docs = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+
+    def key(i, w):
+        h = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return math.log((h + 0.5) / 1_000_000) / w
+
+    ref = sorted(rows, key=lambda r: (-key(r[0], r[4]), r[0]))
+    got20 = [r.doc_id for r in SMP.weighted_sample(docs, k=20).collect()]
+    assert set(got20) == {r[0] for r in ref[:20]}
+    got50 = {r.doc_id for r in SMP.weighted_sample(docs, k=50).collect()}
+    assert set(got20) <= got50                    # fixed keys -> supersets nest
+    # weight-100 rows (ids 200+) should dominate a weight-1 population
+    assert sum(1 for i in got50 if i >= 200) >= 45
