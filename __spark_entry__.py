@@ -1756,10 +1756,13 @@ FROM documents
 
 
 def q56_chunk_sequences(spark, sf_dir):
-    """Context-length chunking (engine/tokens.py::chunk_sequences — the
-    complement of q34's packing): BPE sequences split into <=40-token
-    training windows with 8-token overlap. Pure per-row explode + slice, no
-    shuffle, no UDF; the oracle mirrors the chain + list_slice windows."""
+    """Token-array restructuring, two discriminated modes over the same BPE
+    sequences: context-length chunking (engine/tokens.py::chunk_sequences —
+    the complement of q34's packing; <=40-token windows, 8-token overlap)
+    ⊕ fill-in-the-middle PSM rewriting (engine/tokens.py::fim_transform —
+    hash-gated 50% of docs re-emitted as [PRE]prefix[SUF]suffix[MID]middle;
+    chunk_idx carries the applied flag). Both are pure per-row explode /
+    slice / concat projections — no shuffle, no UDF."""
     from forex_feature_generator_spark.engine import tokens as etok
     from forex_feature_generator_spark.ops import bpe as BPE
     docs = _load(spark, sf_dir, "documents")
@@ -1769,10 +1772,17 @@ def q56_chunk_sequences(spark, sf_dir):
                     F.col("n_bpe_tokens").cast("int").alias("n_tok"),
                     "source"))
     ch = etok.chunk_sequences(seqs, max_len=40, overlap=8)
-    return ch.select("doc_id", "source",
-                     F.col("chunk_idx").cast("long").alias("chunk_idx"),
-                     F.array_join("chunk_tokens", ",").alias("chunk_csv"),
-                     F.col("chunk_len").cast("long").alias("chunk_len"))
+    chunks = ch.select(
+        F.lit("chunk").alias("mode"), "doc_id", "source",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join("chunk_tokens", ",").alias("chunk_csv"),
+        F.col("chunk_len").cast("long").alias("chunk_len"))
+    fim = etok.fim_transform(seqs).select(
+        F.lit("fim").alias("mode"), "doc_id", "source",
+        F.col("fim_applied").cast("long").alias("chunk_idx"),
+        F.array_join("fim_tokens", ",").alias("chunk_csv"),
+        F.col("fim_len").alias("chunk_len"))
+    return chunks.unionByName(fim)
 
 
 def _sql_q56() -> str:
@@ -1799,13 +1809,33 @@ ch AS (
   SELECT doc_id, source, ids,
          unnest(range(greatest(ceil((len(ids) - 8) / 32.0)::INTEGER, 1)))
            AS chunk_idx
-  FROM seqs WHERE len(ids) > 0)
-SELECT doc_id, source, chunk_idx::BIGINT AS chunk_idx,
+  FROM seqs WHERE len(ids) > 0),
+f1 AS (
+  SELECT doc_id, source, ids, len(ids) AS n,
+         ({_hex2int_sql("md5('101:' || doc_id::VARCHAR)", 15)} % 1000000
+          < 500000 AND len(ids) >= 4) AS applied,
+         1 + ({_hex2int_sql("md5('102:' || doc_id::VARCHAR)", 15)} % 1000000)
+             % greatest(len(ids) - 2, 1) AS p1
+  FROM seqs),
+f2 AS (
+  SELECT doc_id, source, ids, n, applied, p1,
+         p1 + 1 + ({_hex2int_sql("md5('103:' || doc_id::VARCHAR)", 15)}
+                   % 1000000) % greatest(n - 1 - p1, 1) AS p2
+  FROM f1)
+SELECT 'chunk' AS mode, doc_id, source, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(list_slice(ids, chunk_idx * 32 + 1,
                                   chunk_idx * 32 + 40), ',') AS chunk_csv,
        len(list_slice(ids, chunk_idx * 32 + 1,
                       chunk_idx * 32 + 40))::BIGINT AS chunk_len
 FROM ch
+UNION ALL
+SELECT 'fim' AS mode, doc_id, source, applied::BIGINT AS chunk_idx,
+       array_to_string(CASE WHEN applied THEN flatten(
+           [[-1], list_slice(ids, 1, p1), [-3], list_slice(ids, p2 + 1, n),
+            [-2], list_slice(ids, p1 + 1, p2)]) ELSE ids END, ',')
+         AS chunk_csv,
+       (CASE WHEN applied THEN n + 3 ELSE n END)::BIGINT AS chunk_len
+FROM f2
 """
 
 

@@ -125,6 +125,47 @@ def chunk_sequences(seqs: DataFrame, max_len: int = 128,
             .withColumn("chunk_len", F.size("chunk_tokens")))
 
 
+def fim_transform(seqs: DataFrame, rate: float = 0.5, seed: int = 101,
+                  pre_tok: int = -1, mid_tok: int = -2,
+                  suf_tok: int = -3) -> DataFrame:
+    """Fill-in-the-middle restructuring of token sequences (Bavarian et al.
+    2022, "Efficient Training of Language Models to Fill in the Middle" —
+    public paper), PSM layout: a `rate` fraction of documents is split at
+    two points and re-emitted as
+
+        [PRE] prefix [SUF] suffix [MID] middle
+
+    so the model learns to infill; the rest pass through unchanged. The
+    apply decision and both split points are pure functions of
+    (seed, doc_id) via the shared md5 unit hash — reproducible, oracle-
+    checkable, and stable under re-runs. Docs shorter than 4 tokens are
+    never transformed (each of the three spans must be non-empty).
+    Split points: p1 = 1 + h1 % (n-2) in [1, n-2], then
+    p2 = p1 + 1 + h2 % (n-1-p1) in [p1+1, n-1]; spans are
+    tokens[:p1] / tokens[p1:p2] / tokens[p2:].
+
+    Output: input columns + fim_applied + fim_tokens + fim_len
+    (= n_tok + 3 when applied). Scale shape: pure per-row JVM slice/concat
+    projection — no shuffle, no UDF, no Python in the hot path."""
+    from ..ops.sampling import HASH_BUCKETS, _unit_hash
+    n = F.col("n_tok").cast("long")
+    applied = ((_unit_hash("doc_id", seed) < int(rate * HASH_BUCKETS))
+               & (n >= 4))
+    p1 = F.lit(1) + _unit_hash("doc_id", seed + 1) % (n - 2)
+    p2 = p1 + 1 + _unit_hash("doc_id", seed + 2) % (n - 1 - p1)
+    toks = F.col("tokens")
+    fim = F.concat(
+        F.array(F.lit(pre_tok)), F.slice(toks, 1, p1),
+        F.array(F.lit(suf_tok)),
+        F.slice(toks, (p2 + 1).cast("int"), (n - p2).cast("int")),
+        F.array(F.lit(mid_tok)),
+        F.slice(toks, (p1 + 1).cast("int"), (p2 - p1).cast("int")))
+    out = F.when(applied, fim).otherwise(toks)
+    return (seqs.withColumn("fim_applied", applied)
+            .withColumn("fim_tokens", out)
+            .withColumn("fim_len", F.size("fim_tokens").cast("long")))
+
+
 def pack_sequences(seqs: DataFrame, seq_len: int = 1024,
                    tok_col: str = "n_tok", order_col: str = "doc_id",
                    group_cols: list[str] | None = None) -> DataFrame:

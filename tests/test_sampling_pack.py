@@ -230,3 +230,36 @@ def test_weighted_sample_reference_and_nesting(spark):
     assert set(got20) <= got50                    # fixed keys -> supersets nest
     # weight-100 rows (ids 200+) should dominate a weight-1 population
     assert sum(1 for i in got50 if i >= 200) >= 45
+
+
+def test_fim_transform_reference(spark):
+    """PSM layout vs a hand-rolled md5 reference: span reconstruction,
+    sentinel placement, rate gating, and the n<4 guard."""
+    import hashlib
+
+    def h(i, seed):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15],
+                   16) % 1_000_000
+
+    from forex_feature_generator_spark.engine.tokens import fim_transform
+    rows = [(i, list(range(10 * i, 10 * i + 3 + i % 9)), 3 + i % 9, "s")
+            for i in range(60)]
+    seqs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, n_tok int, source string")
+    got = {r.doc_id: r for r in fim_transform(seqs, rate=0.5).collect()}
+    n_applied = 0
+    for i, toks, n, _ in rows:
+        r = got[i]
+        should = h(i, 101) < 500_000 and n >= 4
+        assert r.fim_applied == should
+        if not should:
+            assert list(r.fim_tokens) == toks and r.fim_len == n
+            continue
+        n_applied += 1
+        p1 = 1 + h(i, 102) % (n - 2)
+        p2 = p1 + 1 + h(i, 103) % (n - 1 - p1)
+        assert 1 <= p1 < p2 < n
+        ref = ([-1] + toks[:p1] + [-3] + toks[p2:] + [-2] + toks[p1:p2])
+        assert list(r.fim_tokens) == ref
+        assert r.fim_len == n + 3
+    assert n_applied >= 15          # the 50% gate actually fires
