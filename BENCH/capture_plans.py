@@ -357,6 +357,63 @@ def main() -> None:
         "path).",
         plan19))
 
+    # 20. DSIR importance selection — broadcast count tables, top-k heap
+    from forex_feature_generator_spark.ops import sampling as SMP
+    ds = SMP.dsir_select(docs.filter(F.col("source") != "src0"),
+                         docs.filter(F.col("source") == "src0"), k=100)
+    plan20 = explain_str(ds, max_lines=70)
+    assert "TakeOrderedAndProject" in plan20
+    assert "SortMergeJoin" not in plan20
+    assert "CartesianProduct" not in plan20
+    sections.append((
+        "DSIR importance selection (q31 mode=dsir)",
+        "Both hashed-unigram count tables are bounded at B=4096 rows (one "
+        "partial-agg shuffle each) and BROADCAST into the scoring join; "
+        "per-doc scores partial-aggregate on doc_id; selection is "
+        "TakeOrderedAndProject (per-partition top-k heap + driver merge "
+        "of P*k rows) — never a global sort. The 1-row totals frame rides "
+        "a broadcast nested-loop, not a CartesianProduct.",
+        plan20))
+
+    # 21. domain cap + weighted sample — bypass routing / shuffle-free top-k
+    dc = SMP.domain_cap(docs, cap=8000)
+    plan21a = explain_str(dc, max_lines=60)
+    assert "BroadcastHashJoin" in plan21a       # G-row totals, never SMJ
+    ws = SMP.weighted_sample(docs, k=50)
+    plan21b = explain_str(ws, max_lines=25)
+    assert "TakeOrderedAndProject" in plan21b
+    assert "Exchange hashpartitioning" not in plan21b   # zero shuffles
+    sections.append((
+        "Per-domain cap + Efraimidis-Spirakis weighted sample "
+        "(q31 modes=domain_cap/weighted)",
+        "domain_cap: the G-row per-domain totals broadcast back onto the "
+        "corpus routes under-cap domains AROUND the window exchange "
+        "(selected=true, no shuffle); only over-cap domains flow through "
+        "the per-domain cumsum window, whose partitions are bounded by "
+        "domain size. weighted_sample: the ln(u)/w key is a pure "
+        "projection and selection is TakeOrderedAndProject — the whole "
+        "sampler runs with ZERO shuffles (asserted).\n\n```\n"
+        + plan21b + "\n```",
+        plan21a))
+
+    # 22. FIM rewrite — pure per-row projection, no exchange
+    from forex_feature_generator_spark.engine import tokens as etok
+    seqs = docs.select(
+        "doc_id", "source",
+        F.transform(F.split(F.col("text"), " "),
+                    lambda w: F.length(w).cast("int")).alias("tokens")
+    ).withColumn("n_tok", F.size("tokens"))
+    fimp = etok.fim_transform(seqs)
+    plan22 = explain_str(fimp, max_lines=30)
+    assert "Exchange" not in plan22
+    sections.append((
+        "Fill-in-the-middle rewrite (q56 mode=fim)",
+        "Hash gate, both split points, and the [PRE]/[SUF]/[MID] "
+        "slice+concat are all JVM expressions in one ProjectExec over the "
+        "scan — no Exchange anywhere in the plan (asserted), no UDF, no "
+        "Python.",
+        plan22))
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan review of the key operators\n\n"
                 "Captured by `python BENCH/capture_plans.py` "
