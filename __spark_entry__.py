@@ -622,17 +622,50 @@ FROM ranked WHERE rank <= 5
 """
 
 
+CLF_BUCKETS = 256   # hashed bag-of-words width for the q19 'clf' mode
+CLF_EPOCHS = 6      # full-batch GD epochs (each = 1 bounded shuffle + B-row collect)
+CLF_LR = 1.0
+
+
 def q19_text_quality(spark, sf_dir):
-    """Text quality scoring: length/stopword/punctuation/uppercase ratios."""
+    """Text quality scoring, two modes in one entry.
+
+    mode='heuristic': length/stopword/punctuation/uppercase ratios.
+    mode='clf': the GPT-3/WebText-style TRAINED quality classifier
+    (ops/classifier.py) — full-batch logistic regression over hashed
+    bag-of-words (256 buckets, 6 epochs, lr=1.0), positives = "doc is in
+    the reference corpus" (stand-in label: lang == 'en'), then every doc
+    scored with the trained weights. Training is distributed GD: one
+    broadcast weight join + two partial-aggregated shuffles per epoch,
+    nothing corpus-sized at the driver. The DuckDB oracle replays the
+    EXACT epoch loop with a recursive CTE over the same md5-bucketed
+    features, so the driver hash-checks trained-model scores end to end."""
+    from forex_feature_generator_spark.ops import classifier as CLF
     docs = _load(spark, sf_dir, "documents")
-    return (TXT.quality_score(TXT.token_counts(docs))
-            .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_words",
+    heur = (TXT.quality_score(TXT.token_counts(docs))
+            .select(F.lit("heuristic").alias("mode"), "doc_id",
+                    "n_ws_tokens", "n_bpe_tokens", "n_words",
                     "punct_ratio", "stop_ratio", "avg_word_len", "quality"))
+    labeled = docs.withColumn("__is_ref", (F.col("lang") == "en").cast("int"))
+    w, b = CLF.train_quality_classifier(labeled, "__is_ref",
+                                        n_buckets=CLF_BUCKETS,
+                                        epochs=CLF_EPOCHS, lr=CLF_LR)
+    nl = F.lit(None)
+    clf = (CLF.classifier_score(docs, w, b)
+           .select(F.lit("clf").alias("mode"), "doc_id",
+                   nl.cast("long").alias("n_ws_tokens"),
+                   nl.cast("long").alias("n_bpe_tokens"),
+                   nl.cast("long").alias("n_words"),
+                   nl.cast("double").alias("punct_ratio"),
+                   nl.cast("double").alias("stop_ratio"),
+                   nl.cast("double").alias("avg_word_len"),
+                   F.col("quality_prob").alias("quality")))
+    return heur.unionByName(clf)
 
 
 _STOP_EN = "['the','and','of','to','in','is','that','for','with','on']"
 SQL_Q19 = f"""
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id, text,
          len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
@@ -649,8 +682,56 @@ r AS (
          n_chars * 1.0 / greatest(len(words), 1) AS avg_word_len,
          upper_c * 1.0 / greatest(n_chars, 1) AS upper_ratio,
          least(1.0, len(words) / 20.0) AS length_score
-  FROM t)
-SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_words,
+  FROM t),
+-- clf mode: replay ops/classifier.py's distributed full-batch GD exactly.
+-- feats = the same md5-prefix hashed bag-of-words Spark builds; the
+-- recursive CTE wt carries (bkt, w) x 256 plus the bias replicated per
+-- row, and each recursion step IS one epoch: per-doc sigmoid margins
+-- from the previous weights, residuals vs the (lang='en') labels,
+-- per-bucket gradients, mean-normalized update. Docs with no tokens
+-- contribute nothing to gradients (Spark's margin->label join is inner)
+-- but DO count in the 1/n normalizer (labels.count()).
+feats AS (
+  SELECT doc_id AS id,
+         ('0x' || substring(md5(w), 1, 8))::BIGINT % {CLF_BUCKETS} AS bkt,
+         count(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2),
+labels AS (SELECT doc_id AS id, (lang = 'en')::INT::DOUBLE AS y FROM documents),
+wt(iter, bkt, w, bias) AS (
+  SELECT 0, rg.range::BIGINT, 0.0::DOUBLE, 0.0::DOUBLE FROM range({CLF_BUCKETS}) rg
+  UNION ALL
+  SELECT wt.iter + 1, wt.bkt,
+         wt.w - {CLF_LR} * COALESCE(g.grad, 0) / (SELECT count(*) FROM documents),
+         wt.bias - {CLF_LR} * (
+            SELECT sum(p.p - p.y) FROM (
+              SELECT 1/(1+exp(-(m.lin + m.bias))) AS p, l.y
+              FROM (SELECT f2.id, sum(f2.cnt * w2.w) AS lin,
+                           any_value(w2.bias) AS bias
+                    FROM feats f2 JOIN wt w2 ON f2.bkt = w2.bkt
+                    GROUP BY f2.id) m JOIN labels l ON m.id = l.id) p
+         ) / (SELECT count(*) FROM documents)
+  FROM wt LEFT JOIN (
+     SELECT f.bkt, sum(f.cnt * (p.p - p.y)) AS grad
+     FROM feats f JOIN (
+        SELECT m.id, 1/(1+exp(-(m.lin + m.bias))) AS p, l.y
+        FROM (SELECT f2.id, sum(f2.cnt * w2.w) AS lin,
+                     any_value(w2.bias) AS bias
+              FROM feats f2 JOIN wt w2 ON f2.bkt = w2.bkt
+              GROUP BY f2.id) m JOIN labels l ON m.id = l.id) p
+     ON f.id = p.id GROUP BY f.bkt) g ON wt.bkt = g.bkt
+  WHERE wt.iter < {CLF_EPOCHS}),
+final_w AS (SELECT bkt, w, bias FROM wt WHERE iter = {CLF_EPOCHS}),
+lin AS (SELECT f.id, sum(f.cnt * fw.w) AS lin
+        FROM feats f JOIN final_w fw ON f.bkt = fw.bkt GROUP BY f.id),
+clf AS (
+  SELECT d.doc_id,
+         COALESCE(
+           round(1/(1+exp(-(l.lin + (SELECT any_value(bias) FROM final_w)))), 6),
+           round(1/(1+exp(-(SELECT any_value(bias) FROM final_w))), 6)) AS quality
+  FROM documents d LEFT JOIN lin l ON d.doc_id = l.id)
+SELECT 'heuristic' AS mode, doc_id, n_ws_tokens, n_bpe_tokens, n_words,
        round(punct_ratio, 6) AS punct_ratio,
        round(stop_ratio, 6) AS stop_ratio,
        round(avg_word_len, 6) AS avg_word_len,
@@ -658,6 +739,12 @@ SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_words,
              + (1 - least(1.0, punct_ratio * 5.0)) * 0.2
              + (1 - least(1.0, upper_ratio * 5.0)) * 0.2, 6) AS quality
 FROM r
+UNION ALL
+SELECT 'clf' AS mode, doc_id, NULL::BIGINT AS n_ws_tokens,
+       NULL::BIGINT AS n_bpe_tokens, NULL::BIGINT AS n_words,
+       NULL::DOUBLE AS punct_ratio, NULL::DOUBLE AS stop_ratio,
+       NULL::DOUBLE AS avg_word_len, quality
+FROM clf
 """
 
 

@@ -91,6 +91,10 @@ QUERY_REGRESSION_FLAG = 1.5
 # recorded — a flagged ratio on these is expected, not a regression.
 # Keyed by query name; emitted verbatim as `queries_expected_changes`.
 QUERY_EXPECTED_CHANGES = {
+    "q19_text_quality": (
+        "grew from 1 to 2 modes late round 6: + trained quality classifier "
+        "(full-batch logistic regression, 6 distributed-GD epochs = 6 "
+        "sequential Spark jobs) — ~8s of epoch-loop latency by design"),
     "q14_dedup_exact": (
         "grew from 1 to 3 modes late round 6: + passage-level dedup and "
         "repeated-passage REMOVAL (text reconstruction) — ~3x the work by "

@@ -97,14 +97,22 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         resid = (_score_frame(feats, wtable, bias)
                  .join(labels, "id")
                  .select("id", (F.col("__p") - F.col("__y")).alias("__r")))
+        # bias gradient rides along as virtual bucket -1 (cnt ≡ 1), so the
+        # whole epoch is ONE action: margins + residuals + all B+1 partial
+        # sums in a single job instead of two (halves per-epoch latency —
+        # at scale the epoch is latency-bound on job setup, not data).
         grads = (feats.join(resid, "id")
+                 .select("bkt", (F.col("cnt") * F.col("__r")).alias("__gx"))
+                 .unionByName(resid.select(F.lit(-1).alias("bkt"),
+                                           F.col("__r").alias("__gx")))
                  .groupBy("bkt")
-                 .agg(F.sum(F.col("cnt") * F.col("__r")).alias("__g"))
+                 .agg(F.sum("__gx").alias("__g"))
                  .collect())
-        gbias = resid.agg(F.sum("__r").alias("g")).collect()[0]["g"]
         for row in grads:
-            w[row["bkt"]] -= lr * row["__g"] / n_docs
-        bias -= lr * float(gbias) / n_docs
+            if row["bkt"] < 0:
+                bias -= lr * row["__g"] / n_docs
+            else:
+                w[row["bkt"]] -= lr * row["__g"] / n_docs
     # unlike ops returning lazy frames, training consumes its pins HERE
     # (the last epoch's collect) — release them instead of deferring to
     # the caller's release_all()
