@@ -2331,14 +2331,95 @@ FROM ({_sql_q28()})
 
 
 def q18_ann_methods(spark, sf_dir):
-    """ANN top-k: exact brute-force baseline (q18) ⊕ LSH (q29) ⊕ IVF (q37)
-    as one entry; union + method discriminator."""
+    """ANN top-k: exact brute-force baseline (q18) ⊕ LSH (q29) ⊕ IVF over
+    the hash-sampled quantizer (q37) ⊕ IVF over a Lloyd-REFINED quantizer
+    (mode 'ivfk' — ops/similarity.py::kmeans_centroids, the FAISS-style
+    IVF training step: 3 rounds of assign/mean/normalize, one broadcast
+    pass + one (cell,dim)-bounded shuffle per round; the DuckDB oracle
+    replays the identical refinement with a recursive CTE)."""
     def tag(df, method):
         return df.select(F.lit(method).alias("method"), "query_id",
                          "neighbor_id", "rank", "cosine")
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ivfk = SIM.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=2,
+                        centroids=SIM.kmeans_centroids(emb, 16, iters=3))
     return (tag(q18_ann_cosine(spark, sf_dir), "brute")
             .unionByName(tag(q29_ann_lsh(spark, sf_dir), "lsh"))
-            .unionByName(tag(q37_ann_ivf(spark, sf_dir), "ivf")))
+            .unionByName(tag(q37_ann_ivf(spark, sf_dir), "ivf"))
+            .unionByName(tag(ivfk, "ivfk")))
+
+
+SQL_Q37K = """
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+picked AS (
+  SELECT md5(vec_id::VARCHAR) AS h, vec_id AS cid, ev
+  FROM v ORDER BY h, cid LIMIT 16),
+dims AS (SELECT unnest(range(1, (SELECT max(len(ev)) FROM v) + 1)) AS d),
+-- Lloyd refinement replayed exactly: each recursion step assigns every
+-- vector to its max-dot cell vs the PREVIOUS centroids (ties -> lowest
+-- cell), takes per-dimension means rounded to 9 (matching Spark's
+-- per-round rounding), L2-normalizes, and keeps the old centroid for
+-- emptied or zero-norm cells.
+km(iter, cell, cv) AS (
+  SELECT 0, row_number() OVER (ORDER BY h, cid), ev FROM picked
+  UNION ALL
+  SELECT km.iter + 1, km.cell, COALESCE(m.cvn, km.cv)
+  FROM km LEFT JOIN (
+    SELECT cell,
+           CASE WHEN sqrt(list_dot_product(cv0, cv0)) > 0 THEN
+             list_transform(cv0,
+                            x -> round(x / sqrt(list_dot_product(cv0, cv0)), 9))
+           END AS cvn
+    FROM (
+      SELECT cell, list(mr ORDER BY d) AS cv0
+      FROM (
+        SELECT a.cell, dims.d, round(avg(a.ev[dims.d]), 9) AS mr
+        FROM (
+          SELECT ev, cell FROM (
+            SELECT v.ev, km2.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.ev, km2.cv) DESC,
+                                km2.cell ASC) AS cr
+            FROM v, km km2) WHERE cr = 1) a, dims
+        GROUP BY a.cell, dims.d)
+      GROUP BY cell)
+  ) m ON m.cell = km.cell
+  WHERE km.iter < 3),
+cents AS (SELECT cell, cv FROM km WHERE iter = 3),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.ev, c.cv) DESC,
+                                       c.cell ASC) AS cr
+    FROM v, cents c) WHERE cr <= 1),
+assign_q AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.ev, c.cv) DESC,
+                                       c.cell ASC) AS cr
+    FROM v, cents c WHERE v.vec_id < 10) WHERE cr <= 2),
+cand AS (
+  SELECT DISTINCT q.query_id, n.neighbor_id
+  FROM assign_q q JOIN assign_c n USING (cell)
+  WHERE n.neighbor_id <> q.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.ev, b.ev)
+           / (sqrt(list_dot_product(a.ev, a.ev))
+              * sqrt(list_dot_product(b.ev, b.ev))) AS cosine
+  FROM cand JOIN v a ON a.vec_id = cand.query_id
+            JOIN v b ON b.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
 
 
 def _sql_q18_ann() -> str:
@@ -2348,6 +2429,8 @@ UNION ALL
 SELECT 'lsh' AS method, * FROM ({_sql_q29()})
 UNION ALL
 SELECT 'ivf' AS method, * FROM ({SQL_Q37})
+UNION ALL
+SELECT 'ivfk' AS method, * FROM ({SQL_Q37K})
 """
 
 

@@ -91,6 +91,10 @@ QUERY_REGRESSION_FLAG = 1.5
 # recorded — a flagged ratio on these is expected, not a regression.
 # Keyed by query name; emitted verbatim as `queries_expected_changes`.
 QUERY_EXPECTED_CHANGES = {
+    "q18_ann_methods": (
+        "grew from 3 to 4 modes late round 6: + IVF over a Lloyd-refined "
+        "(k-means) quantizer — 3 sequential assign/mean/normalize rounds "
+        "(~8s of refinement-loop latency) by design"),
     "q19_text_quality": (
         "grew from 1 to 2 modes late round 6: + trained quality classifier "
         "(full-batch logistic regression, 6 distributed-GD epochs = 6 "

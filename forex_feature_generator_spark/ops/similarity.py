@@ -143,9 +143,76 @@ def hash_centroids(corpus: DataFrame, n_cells: int,
                .select("cell", "c_vec"))
 
 
+def kmeans_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined spherical quantizer — the FAISS-style IVF *training*
+    step (Jégou et al. 2011; public). Starts from the deterministic
+    hash_centroids seed, then `iters` rounds of: assign every vector to
+    its max-dot-product cell (ties → lowest cell), recompute each cell's
+    centroid as the per-dimension mean of its members, L2-normalize. A
+    cell that loses all members keeps its previous centroid.
+
+    Determinism / oracle parity: per-dimension means are rounded to 9
+    decimals each round (partial-agg summation order otherwise drifts
+    ~1e-16/engine and the argmax cascade would amplify it); the norm is a
+    sequential left fold over the dimension-ordered array, the same order
+    DuckDB's list_dot_product uses, so the refined centroids are
+    bit-identical across engines.
+
+    Scale shape (100 TB): per round ONE broadcast-join assignment pass
+    over the corpus + one (cell, dim) partial-agg shuffle bounded by
+    n_cells x dim rows; only the K x d centroid table (collected per
+    round, re-broadcast next round) ever leaves the executors — the
+    classic distributed Lloyd's layout, same skeleton as
+    ops/classifier.py's GD loop."""
+    spark = corpus.sparkSession
+    cents = hash_centroids(corpus, n_cells, id_col, vec_col)
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    for _ in range(int(iters)):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"),
+                       F.transform(F.col("c_vec"), lambda x: x.cast("double")),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        assigned = (v.crossJoin(F.broadcast(cents))
+                    .withColumn("__d", dot)
+                    .groupBy("id")
+                    .agg(F.min(F.struct((-F.col("__d")).alias("nd"),
+                                        F.col("cell").alias("cell"))).alias("b"),
+                         F.any_value("v").alias("v"))
+                    .select(F.col("b.cell").alias("cell"), "v"))
+        means = (assigned
+                 .select("cell", F.posexplode("v").alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.round(F.avg("val"), 9).alias("m")))
+        packed = (means.groupBy("cell")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct("pos", "m"))).alias("pm"))
+                  .select("cell", F.transform("pm", lambda s: s["m"]).alias("cv0")))
+        nrm = F.sqrt(F.aggregate("cv0", F.lit(0.0),
+                                 lambda acc, x: acc + x * x))
+        new_rows = (packed
+                    .withColumn("__n", nrm)
+                    .select("cell",
+                            F.when(F.col("__n") > 0, F.transform(
+                                "cv0", lambda x: F.round(x / F.col("__n"), 9)))
+                            .alias("c_new"))
+                    .collect())
+        upd = {r["cell"]: r["c_new"] for r in new_rows if r["c_new"] is not None}
+        old = {r["cell"]: [float(x) for x in r["c_vec"]]
+               for r in cents.collect()}
+        rows = [(c, upd.get(c, old[c])) for c in sorted(old)]
+        cents = pin(spark.createDataFrame(rows, "cell int, c_vec array<double>"))
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into cells
     around deterministic centroids (hash_centroids), each vector is assigned
     to its max-dot-product cell, a query probes its n_probe best cells, and
@@ -154,8 +221,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Scale shape: the centroid table is tiny (broadcast); assignment is a
     JVM-side broadcast join + max_by (n_cells dot products per row, one
     pass); the candidate join is an equi-join on cell — per-query work is
-    ~n_probe/n_cells of the corpus, never all of it."""
-    cents = hash_centroids(corpus, n_cells, id_col, vec_col)
+    ~n_probe/n_cells of the corpus, never all of it.
+
+    `centroids`: optional pre-trained (cell, c_vec) table (e.g. from
+    kmeans_centroids); defaults to the hash-sampled quantizer."""
+    cents = (centroids if centroids is not None
+             else hash_centroids(corpus, n_cells, id_col, vec_col))
 
     def assign(df, idn, keep_vec, probes):
         d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))
