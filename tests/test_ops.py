@@ -148,6 +148,42 @@ def test_ivf_topk_recall(spark):
     assert np.allclose(merged["cosine_i"], merged["cosine_e"])
 
 
+def test_kmeans_centroids_matches_numpy_lloyd(spark):
+    """kmeans_centroids (distributed Lloyd's over broadcast assignment +
+    (cell,dim) partial-agg means) must replay bit-for-bit against a
+    straight numpy Lloyd's with the same deterministic seed, tie-break,
+    per-round rounding, and empty/zero-norm cell handling."""
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 16)) * 3
+    vecs = np.vstack([c + rng.normal(scale=0.4, size=(25, 16))
+                      for c in centers])          # 150 x 16, float64
+    pdf = pd.DataFrame({"vec_id": range(150), "embedding": vecs.tolist()})
+    emb = spark.createDataFrame(pdf)
+    got = {int(r.cell): np.array(r.c_vec)
+           for r in SIM.kmeans_centroids(emb, 8, iters=3).collect()}
+
+    def r9(x):  # Java HALF_UP, not numpy's half-to-even
+        return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5) / 1e9
+
+    seed_ids = sorted(range(150),
+                      key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
+    C = vecs[seed_ids].copy()
+    for _ in range(3):
+        assign = np.argmax(vecs @ C.T, axis=1)   # first max = lowest cell
+        for c in range(8):
+            members = vecs[assign == c]
+            if len(members) == 0:
+                continue
+            m = r9(members.mean(axis=0))
+            n = np.sqrt((m * m).sum())
+            if n > 0:
+                C[c] = r9(m / n)
+    for c in range(8):
+        assert np.allclose(got[c + 1], C[c], atol=1e-8), f"cell {c + 1}"
+
+
 def test_embedding_near_dups_lsh_recall(spark):
     """The banded-LSH near-dup path must find every genuine near-duplicate
     (planted at cosine ~0.9999) and never emit a pair the exact brute-force
