@@ -1639,12 +1639,30 @@ LEFT JOIN cov ON cov.id = w.id
 
 
 def q48_tfidf_topk(spark, sf_dir):
-    """Per-doc top-3 distinctive terms by smoothed tf-idf (sklearn
-    smooth_idf formula), deterministic term-asc tiebreak. The df table is
-    joined BY KEY (vocab-sized, never collected); the top-k window
-    partitions by doc — see ops/text.py::tfidf_topk."""
+    """Term scoring / retrieval, two modes in one entry.
+
+    mode='tfidf': per-doc top-3 distinctive terms by smoothed tf-idf
+    (sklearn smooth_idf formula), deterministic term-asc tiebreak; the df
+    table is joined BY KEY (vocab-sized, never collected), the top-k
+    window partitions by doc — ops/text.py::tfidf_topk.
+    mode='bm25': Okapi BM25 retrieval-based selection — docs with
+    doc_id < 5 act as queries over the whole corpus (self excluded),
+    top-5 by BM25 with k1=1.2, b=0.75; posting-list equi-join on term,
+    never a corpus scan per query — ops/text.py::bm25_topk. bm25 rows
+    reuse the schema as (doc_id=query, term=retrieved id, tfidf=score)."""
     docs = _load(spark, sf_dir, "documents")
-    return TXT.tfidf_topk(docs, k=3)
+    tfidf = (TXT.tfidf_topk(docs, k=3)
+             .select(F.lit("tfidf").alias("mode"), "doc_id", "term",
+                     "tf", "df", "tfidf", "rank"))
+    bm = (TXT.bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=5)
+          .select(F.lit("bm25").alias("mode"),
+                  F.col("query_id").alias("doc_id"),
+                  F.col("doc_id").cast("string").alias("term"),
+                  F.lit(None).cast("long").alias("tf"),
+                  F.lit(None).cast("long").alias("df"),
+                  F.col("score").alias("tfidf"),
+                  "rank"))
+    return tfidf.unionByName(bm)
 
 
 SQL_Q48 = """
@@ -1663,10 +1681,38 @@ sc AS (
   FROM tf JOIN dfx USING (wd) JOIN nw USING (id) CROSS JOIN nn),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, wd ASC) AS rank
-  FROM sc)
-SELECT id AS doc_id, wd AS term, tf::BIGINT AS tf, df::BIGINT AS df,
-       round(tfidf, 6) AS tfidf, rank::INT AS rank
+  FROM sc),
+-- bm25 mode: same tokenize, empty terms dropped; N/avgdl over docs with
+-- >= 1 token (zero-token docs cannot match anyway)
+btf AS (SELECT id, wd, count(*)::DOUBLE AS tf FROM tok
+        WHERE wd <> '' GROUP BY id, wd),
+bdl AS (SELECT id, sum(tf) AS dl FROM btf GROUP BY id),
+bdf AS (SELECT wd, count(*)::DOUBLE AS df FROM btf GROUP BY wd),
+bg AS (SELECT count(DISTINCT id)::DOUBLE AS n,
+              sum(tf) / count(DISTINCT id) AS avgdl FROM btf),
+qt AS (SELECT DISTINCT id AS query_id, wd FROM tok
+       WHERE id < 5 AND wd <> ''),
+bsc AS (
+  SELECT qt.query_id, btf.id,
+         sum(ln(1.0 + (bg.n - bdf.df + 0.5) / (bdf.df + 0.5))
+             * (btf.tf * (1.2 + 1.0)
+                / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / bg.avgdl)))) AS score
+  FROM qt JOIN btf USING (wd) JOIN bdf USING (wd) JOIN bdl ON bdl.id = btf.id
+       CROSS JOIN bg
+  WHERE btf.id <> qt.query_id
+  GROUP BY qt.query_id, btf.id),
+brk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS rank
+  FROM bsc)
+SELECT 'tfidf' AS mode, id AS doc_id, wd AS term, tf::BIGINT AS tf,
+       df::BIGINT AS df, round(tfidf, 6) AS tfidf, rank::INT AS rank
 FROM rk WHERE rank <= 3
+UNION ALL
+SELECT 'bm25' AS mode, query_id AS doc_id, id::VARCHAR AS term,
+       NULL::BIGINT AS tf, NULL::BIGINT AS df,
+       round(score, 6) AS tfidf, rank::INT AS rank
+FROM brk WHERE rank <= 5
 """
 
 

@@ -95,6 +95,10 @@ QUERY_EXPECTED_CHANGES = {
         "grew from 3 to 4 modes late round 6: + IVF over a Lloyd-refined "
         "(k-means) quantizer — 3 sequential assign/mean/normalize rounds "
         "(~8s of refinement-loop latency) by design"),
+    "q48_tfidf_topk": (
+        "grew from 1 to 2 modes late round 6: + Okapi BM25 retrieval "
+        "(5 query docs vs the corpus via a posting-list term join) — "
+        "roughly doubles the entry's tokenize/aggregate work by design"),
     "q19_text_quality": (
         "grew from 1 to 2 modes late round 6: + trained quality classifier "
         "(full-batch logistic regression, 6 distributed-GD epochs = 6 "

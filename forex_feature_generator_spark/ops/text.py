@@ -198,6 +198,60 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
                     F.col("rank").cast("int").alias("rank")))
 
 
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 retrieval (Robertson et al.; public): rank corpus docs
+    against each query's term set — the targeted-selection primitive a
+    curation pipeline uses to pull reference-corpus-like documents out of
+    a crawl (retrieval-based data selection). idf = ln(1 + (N-df+0.5) /
+    (df+0.5)); per-term tf saturation k1, length normalization b against
+    the corpus mean doc length. Self-matches are excluded; ties rank by
+    doc id asc. Returns (query_id, doc_id, score, rank).
+
+    Scale shape (100 TB): one partial-agged (doc, term) tf shuffle + one
+    vocab-sized df reduction; query terms join candidates BY TERM KEY
+    (inverted-index equi-join — per-query work is bounded by the posting
+    lists of its terms, never the corpus); the final top-k windows
+    partition by query. N and avgdl ride a 1-row broadcast."""
+    from pyspark.sql import Window
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = (docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+           .filter(F.col("w") != ""))
+    tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1))
+                                        .cast("double").alias("tf")))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    glob = (tf.agg(F.count_distinct("id").cast("double").alias("N"),
+                   (F.sum("tf") / F.count_distinct("id")).alias("avgdl")))
+    qterms = (queries
+              .select(F.col(id_col).alias("query_id"),
+                      F.explode(F.array_distinct(
+                          F.split(normalize_text(F.col(text_col)), " ")))
+                      .alias("w"))
+              .filter(F.col("w") != ""))
+    idf = F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (F.lit(k1) + 1.0)
+                     / (F.col("tf") + F.lit(k1)
+                        * (1.0 - F.lit(b) + F.lit(b) * F.col("dl")
+                           / F.col("avgdl"))))
+    scored = (qterms.join(tf, "w")
+              .filter(F.col("query_id") != F.col("id"))
+              .join(df_tbl, "w")
+              .join(dl, "id")
+              .crossJoin(F.broadcast(glob))
+              .groupBy("query_id", "id")
+              .agg(F.sum(contrib).alias("score")))
+    win = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                 F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("id").alias(id_col),
+                    F.round("score", 6).alias("score"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                   threshold: float = 0.8, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

@@ -455,6 +455,51 @@ def test_tfidf_topk(spark):
     assert len(got[4]) == 1          # single-term doc -> single row
 
 
+def test_bm25_topk(spark):
+    """BM25 vs a pure-Python Okapi reference, plus relevance sanity: the
+    doc sharing the query's rare terms outranks docs sharing only common
+    terms, and length normalization demotes a padded copy."""
+    import math
+    from collections import Counter
+    from forex_feature_generator_spark.ops.text import bm25_topk
+    texts = {
+        0: "quantum entanglement physics experiment",
+        1: "quantum entanglement in a physics lab experiment",   # relevant
+        2: "the stock market and the economy report " * 3,
+        3: "physics " + "filler word padding " * 20,             # padded
+        4: "cooking recipes and kitchen tips",
+        5: "entanglement of quantum states experiment physics",  # relevant
+    }
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = bm25_topk(docs, docs.filter("doc_id = 0"), k=5).toPandas()
+
+    k1, b = 1.2, 0.75
+    tf = {i: Counter(t.lower().split()) for i, t in texts.items()}
+    dfc = Counter()
+    for c in tf.values():
+        dfc.update(c.keys())
+    N = len(texts)
+    avgdl = sum(sum(c.values()) for c in tf.values()) / N
+    exp = {}
+    for i, c in tf.items():
+        if i == 0:
+            continue
+        dl = sum(c.values())
+        s = sum(math.log(1 + (N - dfc[w] + 0.5) / (dfc[w] + 0.5))
+                * (c[w] * (k1 + 1)) / (c[w] + k1 * (1 - b + b * dl / avgdl))
+                for w in tf[0] if w in c)
+        if s > 0:
+            exp[i] = round(s, 6)
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [int(r) for r in got["doc_id"]] == [i for i, _ in ranked]
+    assert [float(x) for x in got["score"]] == pytest.approx(
+        [s for _, s in ranked], abs=1e-6)
+    assert set(got["doc_id"][:2]) == {1, 5}      # rare-term docs on top
+    top = dict(zip(got["doc_id"], got["score"]))
+    assert top[3] < top[1]                       # padded doc demoted
+
+
 def test_select_token_budget(spark):
     """Distributed cumsum (range repartition + offsets) vs a plain sorted
     reference; exercised across 4 range partitions so the offset path runs."""
