@@ -414,6 +414,56 @@ def main() -> None:
         "Python.",
         plan22))
 
+    # 23. k-means-refined IVF (q18 mode=ivfk) — one bounded shuffle/round
+    from forex_feature_generator_spark.ops import similarity as SIM
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    kcents = SIM.kmeans_centroids(emb, 8, iters=1)
+    ivfk = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5,
+                        n_cells=8, n_probe=2, centroids=kcents)
+    plan23 = explain_str(ivfk, max_lines=60)
+    assert "CartesianProduct" not in plan23
+    sections.append((
+        "K-means-refined IVF top-k (q18 mode=ivfk)",
+        "Training (per Lloyd round, driver loop like the classifier's GD): "
+        "the K x d centroid table broadcasts into a nested-loop-free "
+        "assignment pass (BroadcastNestedLoopJoin over K rows = the "
+        "documented tiny-side fold, never corpus x corpus), then ONE "
+        "(cell, dim) partial-agg shuffle bounded at K*d rows; the refined "
+        "centroids return as a K-row literal frame. The query below is the "
+        "serving plan: broadcast assignment + equi-join on cell + top-k "
+        "windows — no CartesianProduct (asserted).",
+        plan23))
+
+    # 24. classifier scoring (q19 mode=clf) — broadcast weights, one agg
+    from forex_feature_generator_spark.ops import classifier as CLF
+    w0 = [0.01] * 64
+    sc = CLF.classifier_score(docs, w0, -0.5)
+    plan24 = explain_str(sc, max_lines=50)
+    assert "CartesianProduct" not in plan24
+    sections.append((
+        "Trained-classifier scoring (q19 mode=clf)",
+        "The B-row weight table is BROADCAST into the hashed-feature "
+        "stream; per-doc margins partial-aggregate on id; the sigmoid and "
+        "empty-doc fallback are pure projections. Training (not shown — "
+        "driver epoch loop) is the same shape per epoch plus a B-row "
+        "collect: one bounded shuffle per epoch, nothing corpus-sized at "
+        "the driver.",
+        plan24))
+
+    # 25. BM25 retrieval (q48 mode=bm25) — posting-list equi-join
+    bm = TXT.bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=5)
+    plan25 = explain_str(bm, max_lines=70)
+    assert "CartesianProduct" not in plan25
+    sections.append((
+        "Okapi BM25 retrieval (q48 mode=bm25)",
+        "Query terms join the (doc, term) tf table BY TERM KEY — an "
+        "inverted-index equi-join whose cost is the query terms' posting "
+        "lists, never a per-query corpus scan; df joins by key off the "
+        "same pinned tf table; N/avgdl ride a 1-row broadcast "
+        "(BroadcastNestedLoopJoin over 1 row); the top-k windows "
+        "partition by query_id. No CartesianProduct (asserted).",
+        plan25))
+
     with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan review of the key operators\n\n"
                 "Captured by `python BENCH/capture_plans.py` "
