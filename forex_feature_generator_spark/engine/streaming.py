@@ -524,6 +524,49 @@ def streaming_incremental_dedup(docs: DataFrame, seen: DataFrame,
             .drop("__text_hash"))
 
 
+def streaming_near_dedup(docs: DataFrame, seen_sigs: DataFrame,
+                         num_hashes: int = 16, bands: int = 8,
+                         threshold: float = 0.5, ts_col: str = "ts",
+                         watermark: str = "1 hour", text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Streaming form of ops/dedup.incremental_near_dedup: flag crawl-stream
+    documents that are MinHash-LSH NEAR-duplicates of the already-ingested
+    corpus. `seen_sigs` is the STATIC (id, sig) signature table of the
+    corpus — the table a production ingest loop stores at write time
+    (derive with minhash_signatures for a self-contained run). Emits one
+    row per (new doc, seen doc) pair whose estimated Jaccard clears
+    `threshold`: (doc_id, seen_id, est_jaccard, <ts_col>).
+
+    Scale shape / statefulness: signatures are ROW-LOCAL expressions
+    (minhash_signatures_rowlocal — no groupBy, so no aggregation state);
+    candidates come from a stream-static EQUI-join on (band, bhash)
+    against the banded static table (per-batch work is bounded by bucket
+    collisions, never stream x corpus); the zip_with rerank is a
+    projection. The only state is dropDuplicatesWithinWatermark on the
+    (doc, seen) pair — it collapses multi-band collisions of the same
+    pair and is bounded by the watermark horizon. The per-doc best-match
+    reduction stays a downstream batch rollup (the batch op does it)."""
+    from ..ops.dedup import (_banded, _est_jaccard, band_structs,
+                             minhash_signatures_rowlocal)
+    sn = minhash_signatures_rowlocal(docs, num_hashes, text_col, id_col,
+                                     keep_cols=(ts_col,))
+    nb = (sn.select("id", ts_col, "sig",
+                    F.explode(band_structs(num_hashes, bands)).alias("bb"))
+          .select(F.col("id").alias("doc_id"), F.col("sig").alias("sig_n"),
+                  F.col("bb.band").alias("band"),
+                  F.col("bb.bhash").alias("bhash"), ts_col))
+    sb = (_banded(seen_sigs, num_hashes, bands, keep_sig=True)
+          .select(F.col("id").alias("seen_id"), F.col("sig").alias("sig_s"),
+                  "band", "bhash"))
+    est = _est_jaccard(F.col("sig_n"), F.col("sig_s"), num_hashes)
+    pairs = (nb.join(sb, ["band", "bhash"])
+             .withColumn("est_jaccard", F.round(est, 6))
+             .filter(F.col("est_jaccard") >= threshold)
+             .select("doc_id", "seen_id", "est_jaccard", ts_col))
+    return (pairs.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["doc_id", "seen_id"]))
+
+
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
     """Gap-based session aggregation with session_window (north-rule

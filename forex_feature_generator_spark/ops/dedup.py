@@ -290,19 +290,66 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                                       for i in range(num_hashes)]).alias("sig"))
 
 
-def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band, bhash) — md5 of each comma-joined signature band."""
+def band_structs(num_hashes: int, bands: int, sig_col: str = "sig"):
+    """The explodable array of (band, bhash) structs over a signature
+    column — md5 of each comma-joined band. Shared by the batch banding
+    below and the row-local streaming path (which must band without
+    re-joining its input)."""
     rows_per_band = num_hashes // bands
-    return sigs.select(
-        "id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bi: F.struct(
-                bi.alias("band"),
-                F.md5(F.concat_ws(",", F.transform(
-                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string")))).alias("bhash")))).alias("bb")
-    ).select("id", "bb.band", "bb.bhash")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(sig_col, bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string")))).alias("bhash")))
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int,
+            keep_sig: bool = False) -> DataFrame:
+    """(id, band, bhash[, sig]) — md5 of each comma-joined signature band.
+    `keep_sig` carries the full signature along each banded row (used when
+    the band join's consumer reranks by estimated Jaccard without a second
+    signature join — e.g. the streaming near-dup path)."""
+    cols = ["id"] + (["sig"] if keep_sig else [])
+    exploded = sigs.select(
+        *cols, F.explode(band_structs(num_hashes, bands)).alias("bb"))
+    return exploded.select(*cols, "bb.band", "bb.bhash")
+
+
+def minhash_signatures_rowlocal(docs: DataFrame, num_hashes: int = 16,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                seed: int = 42,
+                                keep_cols: tuple = ()) -> DataFrame:
+    """(id, sig) with ZERO shuffle — the streaming-safe twin of
+    minhash_signatures: shingling, the shared shingle hash, and all
+    num_hashes minima are row-local array expressions (each shingle's md5
+    is computed ONCE into an int array, then num_hashes array_min folds),
+    so it runs on an unbounded stream with no groupBy state. Docs with no
+    shingles (< n words) are dropped, matching the grouped op's explode
+    semantics; tests assert signature equality against minhash_signatures.
+
+    Batch callers should still prefer minhash_signatures: on skewed batch
+    data the explode+partial-agg spreads one huge doc's shingles across
+    tasks, while this keeps each doc's whole array in one task."""
+    params = minhash_params(num_hashes, seed)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    # guard: sequence(1, 0) would run DESCENDING into slice(start=0)
+    sh = F.when(k >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(sh, lambda s: _shingle_int_hash(s) % F.lit(MERSENNE_P))
+    sig = F.array(*[
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b))
+                                % F.lit(MERSENNE_P)))
+        for a, b in params])
+    return (docs.select(F.col(id_col).alias("id"), *keep_cols,
+                        F.size(sh).alias("__nsh"), sig.alias("sig"))
+            .filter(F.col("__nsh") > 0)
+            .select("id", *keep_cols, "sig"))
 
 
 def _est_jaccard(sig_a, sig_b, num_hashes: int):

@@ -330,3 +330,82 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     batch = incremental_dedup(spark.createDataFrame(pdf[["doc_id", "text"]]),
                               seen)
     assert len(got) == batch.count()
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup vs the static seen corpus: the
+    row-local signature expressions must equal the grouped batch
+    signatures, and the streamed (doc, seen, est) pairs must equal the
+    batch band-join pairs over the same data (one row per pair despite
+    multi-band collisions)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from forex_feature_generator_spark.engine.streaming import (
+        streaming_near_dedup)
+    from forex_feature_generator_spark.ops.dedup import (
+        _banded, _est_jaccard, minhash_signatures,
+        minhash_signatures_rowlocal)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark woods tonight")
+    old_rows = [(900 + i, base + f" variant {i}") for i in range(4)]
+    old_rows.append((950, "completely unrelated corpus text about stock "
+                          "markets interest rates and bond yields today"))
+    seen_docs = spark.createDataFrame(old_rows, "doc_id int, text string")
+
+    rows = []
+    for i in range(20):
+        if i % 4 == 0:
+            text = base + f" variant {i % 3}"       # near-dup of seen
+        else:
+            text = (f"fresh document number {i} with its own words "
+                    f"pattern {i * 7} nothing shared here at all {i}")
+        rows.append((i, text,
+                     pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    new_docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+
+    # 1. row-local signatures == grouped signatures (both doc sets)
+    for frame in (seen_docs, new_docs):
+        a = {r.id: list(r.sig)
+             for r in minhash_signatures(frame, 16).collect()}
+        b = {r.id: list(r.sig)
+             for r in minhash_signatures_rowlocal(frame, 16).collect()}
+        assert a == b
+
+    # 2. stream the batch vs the seen signature table
+    seen_sigs = minhash_signatures(seen_docs, 16)
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    pdf.to_parquet(str(src / "p0.parquet"))
+    schema = spark.createDataFrame(pdf).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_dir = str(tmp_path / "nd_out")
+    q = (streaming_near_dedup(stream, seen_sigs, num_hashes=16, bands=8,
+                              threshold=0.3)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    got_pairs = {(int(r.doc_id), int(r.seen_id), float(r.est_jaccard))
+                 for r in got.itertuples()}
+    assert len(got) == len(got_pairs)        # watermark state deduped bands
+
+    # batch reference: same band join + rerank over batch signatures
+    sn = minhash_signatures(new_docs, 16)
+    nb = _banded(sn, 16, 8, keep_sig=True)
+    sb = _banded(seen_sigs, 16, 8, keep_sig=True)
+    ref = (nb.alias("x").join(sb.alias("y"), ["band", "bhash"])
+           .select(F.col("x.id").alias("doc_id"),
+                   F.col("y.id").alias("seen_id"),
+                   F.round(_est_jaccard(F.col("x.sig"), F.col("y.sig"), 16),
+                           6).alias("est"))
+           .filter(F.col("est") >= 0.3).distinct().toPandas())
+    ref_pairs = {(int(r.doc_id), int(r.seen_id), float(r.est))
+                 for r in ref.itertuples()}
+    assert got_pairs == ref_pairs
+    assert any(d % 4 == 0 for d, _, _ in got_pairs)   # planted dups found
+    assert all(d % 4 == 0 for d, _, _ in got_pairs)   # fresh docs clean
