@@ -162,6 +162,13 @@ def probe(spark, name, fn) -> dict:
 
 
 def main() -> None:
+    # --queries a,b,c : probe ONLY the named driver entries over the 10x
+    # corpus and MERGE the rows into the existing sf1_results.json (used
+    # for late-round additions without re-running the heavy pipeline
+    # probes; replaces same-named rows).
+    only: list[str] = []
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        only = sys.argv[2].split(",")
     sf1 = _ensure_sf1()
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from forex_feature_generator_spark.engine.session import get_spark
@@ -186,6 +193,32 @@ def main() -> None:
                "cpus": CPUS,
                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                "probes": []}
+
+    if only:
+        from forex_feature_generator_spark.ops import cache as opcache
+        for name in only:
+            n_rows = qs[name](spark, sf1).count()
+            opcache.release_all()
+
+            def run(n=name, r=n_rows):
+                qs[n](spark, sf1).write.format("noop").mode("overwrite").save()
+                opcache.release_all()
+                return r
+            results["probes"].append(probe(spark, name, run))
+        spark.stop()
+        out = os.path.join(ROOT, "BENCH", "sf1_results.json")
+        merged = results
+        if os.path.isfile(out):
+            merged = json.load(open(out))
+            keep = [p for p in merged["probes"]
+                    if p["name"] not in {q["name"] for q in results["probes"]}]
+            merged["probes"] = keep + results["probes"]
+        with open(out, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(json.dumps({"written": out,
+                          "probes": [{p['name']: p['sec']}
+                                     for p in results["probes"]]}))
+        return
 
     # 1. feature+label pipeline on the big bench corpus
     fcorp = bench._ensure_corpus("128x100000")
