@@ -36,7 +36,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="features",
                     choices=["features", "tokens", "labels", "stream-features",
-                             "bpe", "bpe-learn"])
+                             "bpe", "bpe-learn", "curate"])
+    ap.add_argument("--min-words", type=int, default=50,
+                    help="--mode curate: Gopher word-count floor")
     ap.add_argument("--bpe-merges",
                     help="merges.txt (one 'left right' pair per line, rank "
                          "order) for --mode bpe; omit for the frozen demo "
@@ -146,6 +148,43 @@ def main() -> None:
                 f.write(f"{a} {b}\n")
         print(json.dumps({"merges_learned": len(merges), "path": path}))
         n = len(merges)
+    elif args.mode == "curate":
+        # --input is a documents table (doc_id, text[, ...]): the curation
+        # sweep every crawl shard gets before training — exact-dup flag
+        # (earliest doc per normalized-text hash is the keeper; ONE
+        # bounded hash shuffle), heuristic quality score, Gopher hard
+        # rules (reasons bitmask), language ID — all pure projections on
+        # the same scan. Output: the input columns + the verdict columns;
+        # a JSON summary of drop reasons goes to stdout.
+        from pyspark.sql import functions as F
+        from forex_feature_generator_spark.ops import dedup as DD
+        from forex_feature_generator_spark.ops import text as OTXT
+        docs = ticks
+        keepers = DD.exact_dedup(docs).select("text_hash", "kept_id")
+        scored = OTXT.detect_language(
+            OTXT.quality_score(OTXT.token_counts(docs)))
+        gop = OTXT.gopher_rules(docs, min_words=args.min_words).select(
+            "doc_id", "reasons", "keep")
+        hashed = (scored.join(gop, "doc_id")
+                  .withColumn("text_hash",
+                              F.md5(DD.normalize_text(F.col("text")))))
+        out = (hashed.join(keepers, "text_hash")
+               .withColumn("is_canonical", F.col("doc_id") == F.col("kept_id"))
+               .withColumn("curated",
+                           F.col("is_canonical") & F.col("keep"))
+               .drop("kept_id"))
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        n = res.count()
+        summary = res.agg(
+            F.sum((~F.col("is_canonical")).cast("long")).alias("exact_dupes"),
+            F.sum((F.col("is_canonical") & ~F.col("keep")).cast("long"))
+            .alias("gopher_dropped"),
+            F.sum(F.col("curated").cast("long")).alias("curated"),
+        ).collect()[0]
+        print(json.dumps({"curate": {k: int(summary[k]) for k in
+                                     ("exact_dupes", "gopher_dropped",
+                                      "curated")}}))
     elif args.mode == "labels":
         # full LabelResult surface (confidence/profits/MAE/MFE/tt/RR/quality)
         # — the reference computes these but persists only the label
