@@ -1899,8 +1899,8 @@ def q56_chunk_sequences(spark, sf_dir):
     from forex_feature_generator_spark.engine import tokens as etok
     from forex_feature_generator_spark.ops import bpe as BPE
     docs = _load(spark, sf_dir, "documents")
-    seqs = (BPE.bpe_encode(docs)
-            .join(docs.select("doc_id", "source"), "doc_id")
+    # r7: same keep_cols join-removal as q54 (see there)
+    seqs = (BPE.bpe_encode(docs, keep_cols=("source",))
             .select("doc_id", F.col("token_ids").alias("tokens"),
                     F.col("n_bpe_tokens").cast("int").alias("n_tok"),
                     "source"))
@@ -2135,8 +2135,11 @@ def q54_token_sequences(spark, sf_dir):
     from forex_feature_generator_spark.engine import tokens as etok
     from forex_feature_generator_spark.ops import bpe as BPE
     docs = _load(spark, sf_dir, "documents")
-    seqs = (BPE.bpe_encode(docs)
-            .join(docs.select("doc_id", "source"), "doc_id")
+    # r7: `source` rides the per-row encode projection (keep_cols) — the r6
+    # shape re-joined the corpus on doc_id just to fetch it back (guide
+    # §2.4: an equi-join of a projection to its own input is a removable
+    # shuffle of both sides).
+    seqs = (BPE.bpe_encode(docs, keep_cols=("source",))
             .select("doc_id", F.col("token_ids").alias("tokens"),
                     F.col("n_bpe_tokens").cast("int").alias("n_tok"),
                     "source"))
@@ -2279,11 +2282,21 @@ FROM ranked WHERE rank <= 5
 
 def q06_fill(spark, sf_dir):
     """Forward + backward fill of the same sparse column in one entry
-    (q06_backfill ⊕ q36_backward_fill, joined on the event PK)."""
-    f = q06_backfill(spark, sf_dir)
-    b = q36_backward_fill(spark, sf_dir).select("event_id", "bfilled")
-    return f.join(b, "event_id").select("event_id", "user_id",
-                                        "filled", "bfilled")
+    (q06_backfill ⊕ q36_backward_fill). Both fills share one window
+    partitioning (user_id, ordered by ts), so they evaluate in a SINGLE
+    Window node over one exchange+sort — the r6 shape ran two separate
+    windowed scans and glued them back with a sort-merge join on the
+    event PK (guide §2.4: same-keyed operations share one exchange)."""
+    ev = _load(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_id") % 7 == 0, F.col("value"))
+    wf = (Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wb = (Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(0, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(sparse, ignorenulls=True).over(wf).alias("filled"),
+        F.first(sparse, ignorenulls=True).over(wb).alias("bfilled"))
 
 
 def _sql_q06_fill() -> str:
@@ -2311,11 +2324,55 @@ SELECT 'strict' AS mode, * FROM ({SQL_Q35})
 
 def q10_norm_binning(spark, sf_dir):
     """Lineitem normalization suite: broadcast z-score (q10) ⊕ min-max
-    (q25) ⊕ decile binning (q42), joined on the lineitem PK."""
+    (q25) ⊕ decile binning (q42) in ONE pass.
+
+    r7 changes (results identical, verified exact vs the oracle at
+    sf0.001/sf0.01):
+      * the three separate stat jobs (avg/std, min/max, percentile — each
+        a full lineitem scan) merge into ONE combined agg plus a separate
+        cuts frame;
+      * the decile cutpoints come from normalize.exact_quantiles_frame —
+        a single-partition SORT + rank-pick with F.percentile's exact
+        interpolation — instead of the single-buffer percentile agg whose
+        per-map value->count hashmaps degrade superlinearly on this
+        583k-distinct column (2.03 s -> cuts frame 1.63 s at sf0.1; the
+        sf1 driver run spent ~45 s of q10's 60 s there);
+      * the PK re-join is kept (the PK is NOT unique and the join's k^3
+        per-key combination multiset is the declared result — a groupBy+
+        collect_list+triple-explode reproduction A/B'd SLOWER, 4.6 s vs
+        3.0 s), but each join side is now a narrow projection of ONE
+        shared scan+broadcast frame instead of an independent scan+agg
+        pipeline (guide §2.3: project before the exchange)."""
+    from forex_feature_generator_spark.engine.normalize import \
+        gated_quantiles_frame
+    li = _load(spark, sf_dir, "lineitem")
+    qs = [i / 10 for i in range(1, 10)]
+    n = _parquet_num_rows(sf_dir, "lineitem")   # footer metadata, no job
     keys = ["l_orderkey", "l_linenumber"]
-    z = q10_broadcast_norm(spark, sf_dir)
-    mm = q25_minmax_norm(spark, sf_dir).select(*keys, "mm_price")
-    qb = q42_quantile_binning(spark, sf_dir).select(*keys, "price_decile")
+    stats = li.agg(
+        F.avg("l_extendedprice").alias("mp"),
+        F.stddev_samp("l_extendedprice").alias("sp"),
+        F.avg("l_quantity").alias("mq"),
+        F.stddev_samp("l_quantity").alias("sq"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"))
+    cutsf = (gated_quantiles_frame(li, "l_extendedprice", qs, n)
+             .select(F.transform("cuts",
+                                 lambda c: F.round(c, 4)).alias("cuts")))
+    j = li.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(cutsf))
+    dec = F.size(F.filter(F.col("cuts"),
+                          lambda c: F.col("l_extendedprice") >= c))
+    z = j.select(
+        *keys,
+        F.round((F.col("l_extendedprice") - F.col("mp")) / F.col("sp"),
+                6).alias("z_price"),
+        F.round((F.col("l_quantity") - F.col("mq")) / F.col("sq"),
+                6).alias("z_qty"))
+    mm = j.select(*keys,
+                  F.round(2 * (F.col("l_extendedprice") - F.col("mn"))
+                          / (F.col("mx") - F.col("mn")) - 1,
+                          6).alias("mm_price"))
+    qb = j.select(*keys, dec.cast("int").alias("price_decile"))
     return z.join(mm, keys).join(qb, keys)
 
 

@@ -35,6 +35,62 @@ def gated_quantile_agg(col, probabilities, n_rows: int):
                                F.lit(APPROX_PERCENTILE_ACCURACY))
 
 
+def exact_quantiles_frame(df: DataFrame, col: str,
+                          probabilities: list[float]) -> DataFrame:
+    """1-row frame [cuts: array<double>] with EXACTLY `F.percentile`'s
+    values (same interpolation: position = p * (n-1), result =
+    (ceil-pos)*v[floor] + (pos-floor)*v[ceil]), computed without the
+    single-buffer percentile aggregate. The single-buffer agg builds a
+    value->count hashmap per map task, serializes every map through the
+    shuffle and merges + sorts them in ONE final task — on a high-
+    cardinality column that is O(n) single-threaded hashmap work (q10 at
+    sf1: ~45 s of its 60 s). Here the unavoidable exact step is a plain
+    single-partition SORT of the (narrow, nulls-dropped) column + one pass
+    of rank-picking aggregates — r7 profile: 2.03 s -> 0.26 s at sf0.1,
+    and sort scales n·log n where the hashmap path degraded superlinearly.
+    Gated like everything exact: callers switch to approx_percentile above
+    EXACT_QUANTILE_MAX_ROWS (guide §5 — bounded per-task state)."""
+    from pyspark.sql import Window
+    n1 = df.agg(F.count(F.col(col)).alias("__n"))
+    ranked = (df.select(F.col(col).alias("__v"))
+              .filter(F.col("__v").isNotNull())
+              .select("__v", F.row_number().over(
+                  Window.orderBy("__v")).alias("__rn"))
+              .crossJoin(F.broadcast(n1)))
+
+    def _pos(p):
+        return F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+
+    aggs = []
+    for i, p in enumerate(probabilities):
+        lo, hi = F.floor(_pos(p)), F.ceil(_pos(p))
+        aggs += [F.min(F.when(F.col("__rn") == lo + 1,
+                              F.col("__v"))).alias(f"__vl{i}"),
+                 F.min(F.when(F.col("__rn") == hi + 1,
+                              F.col("__v"))).alias(f"__vh{i}")]
+    g = ranked.groupBy().agg(F.max("__n").alias("__n"), *aggs)
+    cuts = []
+    for i, p in enumerate(probabilities):
+        pos = _pos(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        cuts.append(F.when(lo == hi, F.col(f"__vl{i}")).otherwise(
+            (hi.cast("double") - pos) * F.col(f"__vl{i}")
+            + (pos - lo.cast("double")) * F.col(f"__vh{i}")))
+    return g.select(F.array(*cuts).alias("cuts"))
+
+
+def gated_quantiles_frame(df: DataFrame, col: str,
+                          probabilities: list[float],
+                          n_rows: int) -> DataFrame:
+    """Frame-shaped twin of gated_quantile_agg: 1-row [cuts] via the
+    distributed exact sort below the gate, the mergeable sketch above."""
+    if n_rows <= EXACT_QUANTILE_MAX_ROWS:
+        return exact_quantiles_frame(df, col, probabilities)
+    return df.agg(F.approx_percentile(
+        F.col(col), F.lit(probabilities),
+        F.lit(APPROX_PERCENTILE_ACCURACY)).alias("cuts"))
+
+
 def compute_stats(df: DataFrame, feature_cols: list[str] | None = None,
                   exact_quantiles: bool | None = None,
                   n_rows: int | None = None) -> pd.DataFrame:

@@ -171,19 +171,22 @@ def _classic_encode(t: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 def _bpe_encode_codegen(docs: DataFrame, text_col: str, id_col: str,
                         merges: list[tuple[str, str]],
-                        vocab: dict[str, int]) -> DataFrame:
+                        vocab: dict[str, int],
+                        keep_cols: tuple = ()) -> DataFrame:
     out = docs.withColumn("__s", _encoded_string(F.col(text_col), merges))
     syms = F.expr("split(substring(__s, 2, length(__s) - 2), ',,')")
     empty = F.length("__s") == 0
     n = F.when(empty, F.lit(0)).otherwise(F.size(syms)).cast("long")
     ids = (F.when(empty, F.array().cast("array<int>"))
            .otherwise(F.transform(syms, lambda c: _sym_id(c, vocab))))
-    return out.select(id_col, n.alias("n_bpe_tokens"), ids.alias("token_ids"))
+    return out.select(id_col, *keep_cols, n.alias("n_bpe_tokens"),
+                      ids.alias("token_ids"))
 
 
 def _bpe_encode_udf(docs: DataFrame, text_col: str, id_col: str,
                     merges: list[tuple[str, str]],
-                    vocab: dict[str, int]) -> DataFrame:
+                    vocab: dict[str, int],
+                    keep_cols: tuple = ()) -> DataFrame:
     """Large-vocab path: Arrow-batched pandas UDF, rank/vocab tables shipped
     once per executor via broadcast (NOT captured per-task in the closure —
     a 50k-merge table re-pickled per task would dominate small tasks)."""
@@ -203,8 +206,9 @@ def _bpe_encode_udf(docs: DataFrame, text_col: str, id_col: str,
                        else [])
         return pd.Series(out)
 
-    return (docs.select(id_col, encode(F.col(text_col)).alias("token_ids"))
-            .select(id_col,
+    return (docs.select(id_col, *keep_cols,
+                        encode(F.col(text_col)).alias("token_ids"))
+            .select(id_col, *keep_cols,
                     F.size("token_ids").cast("long").alias("n_bpe_tokens"),
                     "token_ids"))
 
@@ -212,14 +216,21 @@ def _bpe_encode_udf(docs: DataFrame, text_col: str, id_col: str,
 def bpe_encode(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                merges: list[tuple[str, str]] | None = None,
-               codegen_max_merges: int = CODEGEN_MAX_MERGES) -> DataFrame:
-    """(doc_id, n_bpe_tokens: long, token_ids: array<int>) — real BPE token
-    count + ids per document.
+               codegen_max_merges: int = CODEGEN_MAX_MERGES,
+               keep_cols: tuple = ()) -> DataFrame:
+    """(doc_id[, *keep_cols], n_bpe_tokens: long, token_ids: array<int>) —
+    real BPE token count + ids per document.
 
     merges: rank-ordered merge table (e.g. load_merges(path)); defaults to
     the frozen demo table. Tables up to `codegen_max_merges` run as the
     zero-Python constant-folded replace chain; larger tables switch to the
-    broadcast + pandas-UDF classic encoder (identical output)."""
+    broadcast + pandas-UDF classic encoder (identical output).
+
+    keep_cols: extra input columns carried through the encode projection —
+    both paths are per-row maps, so a caller that needs e.g. `source`
+    alongside the tokens passes it here instead of re-joining the corpus
+    on doc_id afterwards (that join was a full extra shuffle of both
+    sides at 100 TB for a column the scan already had in hand)."""
     if merges is None:
         merges, vocab = MERGES, VOCAB
     else:
@@ -230,8 +241,9 @@ def bpe_encode(docs: DataFrame, text_col: str = "text",
     # so crossing the size gate silently changed NULL-row semantics.
     docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     if len(merges) <= codegen_max_merges:
-        return _bpe_encode_codegen(docs, text_col, id_col, merges, vocab)
-    return _bpe_encode_udf(docs, text_col, id_col, merges, vocab)
+        return _bpe_encode_codegen(docs, text_col, id_col, merges, vocab,
+                                   keep_cols)
+    return _bpe_encode_udf(docs, text_col, id_col, merges, vocab, keep_cols)
 
 
 def encode_py(text: str,
