@@ -35,7 +35,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet scan with a scale-adaptive PARALLELISM FLOOR (guide §6 input
+    splits / §2.5 input skew). A single-row-group parquet file is ONE scan
+    split, so without this every downstream per-row expression — shingle
+    HOFs, BPE replace chains, regex scrubs, media decode — runs on one
+    core no matter the master (r7 profile: the whole sf0.1 shingle stream
+    was a single 3.4 s task on local[32]). When the file cannot yield at
+    least defaultParallelism splits, redistribute by a deterministic hash
+    of the lead column (hash repartition skips round-robin's
+    sort-before-repartition pass). On a real multi-terabyte table the scan
+    already has >= cores splits and this is a no-op: one os.stat, no job,
+    no extra exchange."""
+    import os as _os
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        size = 0
+    try:
+        max_split = int(str(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes")).rstrip("b"))
+    except (TypeError, ValueError):
+        max_split = 128 << 20
+    p = spark.sparkContext.defaultParallelism
+    if size >= (32 << 10) and -(-size // max_split) < p:
+        df = df.repartition(p, F.col(df.columns[0]))
+    return df
 
 
 def _parquet_num_rows(sf_dir: str, name: str) -> int:
