@@ -55,18 +55,6 @@ def hashed_features(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
 
 
-def _score_frame(feats: DataFrame, wtable: DataFrame, bias: float):
-    """p = sigmoid(sum_b w_b * cnt_b + bias) per id; the weight table is
-    B rows, always broadcast."""
-    lin = (feats.join(F.broadcast(wtable), "bkt")
-           .groupBy("id")
-           .agg(F.sum(F.col("cnt") * F.col("w")).alias("__lin")))
-    return lin.select(
-        "id", (F.lit(1.0) / (F.lit(1.0)
-                             + F.exp(-(F.col("__lin") + F.lit(bias)))))
-        .alias("__p"))
-
-
 def train_quality_classifier(docs: DataFrame, label_col: str,
                              text_col: str = "text",
                              id_col: str = "doc_id",
@@ -81,32 +69,58 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     (doc margins, bucket gradients) + a B-row collect. The feature table
     and the (id, y) labels are pinned once — the epoch loop re-reads the
     cache, never the corpus. Gradients are mean-normalized (lr is per-doc),
-    so the same hyper-parameters transfer across corpus sizes."""
-    spark = docs.sparkSession
-    feats = pin(hashed_features(docs, text_col, id_col, n_buckets))
-    labels = pin(docs.select(F.col(id_col).alias("id"),
-                             F.col(label_col).cast("double").alias("__y")))
-    n_docs = labels.count()
+    so the same hyper-parameters transfer across corpus sizes.
+
+    r7 epoch-loop restructure (identical trained model up to float-sum
+    order, verified EXACT vs the DuckDB recursive-CTE oracle):
+      * the pinned frame packs each doc's sparse features into ONE row
+        (id, fs: array<(bkt, cnt)>, y) — bounded by min(doc len,
+        n_buckets) <= B entries, so nothing unbounded sits in a row;
+        the label is folded in once at pin time (the old margins⋈labels
+        sort-merge join ran in every epoch; inner-join semantics — only
+        docs with >= 1 token train — are preserved because only such
+        docs have feature rows);
+      * the B-row weight table becomes a constant-folded LITERAL array
+        indexed by bucket (w_arr[bkt]) — no per-epoch createDataFrame,
+        no broadcast build, no join (guide §4.1: prefer expressions);
+      * an epoch is then ONE pass over the pinned rows: margin + sigmoid
+        + residual as row-local array expressions, gradient contributions
+        exploded and partial-aggregated into the B+1-row bucket shuffle —
+        per epoch: one cache scan, one tiny exchange, zero joins (r6
+        shape: broadcast build + 2 corpus-keyed joins + 2 corpus
+        exchanges per epoch; guide §2.3/2.4)."""
+    feats_rows = hashed_features(docs, text_col, id_col, n_buckets)
+    packed = pin(feats_rows.groupBy("id")
+                 .agg(F.collect_list(F.struct("bkt", "cnt")).alias("fs"))
+                 .join(docs.select(F.col(id_col).alias("id"),
+                                   F.col(label_col).cast("double")
+                                   .alias("__y")), "id"))
+    n_docs = docs.count()
     if n_docs == 0:
         raise ValueError("empty training frame")
     w = [0.0] * n_buckets
     bias = 0.0
     for _ in range(int(epochs)):
-        wtable = spark.createDataFrame(
-            [(int(b), float(wb)) for b, wb in enumerate(w)], "bkt long, w double")
-        resid = (_score_frame(feats, wtable, bias)
-                 .join(labels, "id")
-                 .select("id", (F.col("__p") - F.col("__y")).alias("__r")))
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        lin = F.aggregate(
+            "fs", F.lit(0.0),
+            lambda acc, s: acc + s["cnt"] * F.get(w_arr,
+                                                  s["bkt"].cast("int")))
+        r = (F.lit(1.0) / (F.lit(1.0) + F.exp(-(lin + F.lit(bias))))
+             - F.col("__y"))
         # bias gradient rides along as virtual bucket -1 (cnt ≡ 1), so the
         # whole epoch is ONE action: margins + residuals + all B+1 partial
-        # sums in a single job instead of two (halves per-epoch latency —
-        # at scale the epoch is latency-bound on job setup, not data).
-        grads = (feats.join(resid, "id")
-                 .select("bkt", (F.col("cnt") * F.col("__r")).alias("__gx"))
-                 .unionByName(resid.select(F.lit(-1).alias("bkt"),
-                                           F.col("__r").alias("__gx")))
-                 .groupBy("bkt")
-                 .agg(F.sum("__gx").alias("__g"))
+        # sums in a single job (at scale the epoch is latency-bound on job
+        # setup, not data).
+        contrib = F.concat(
+            F.transform("fs", lambda s: F.struct(
+                s["bkt"].alias("bkt"),
+                (s["cnt"] * r).alias("__gx"))),
+            F.array(F.struct(F.lit(-1).cast("long").alias("bkt"),
+                             r.alias("__gx"))))
+        grads = (packed.select(F.explode(contrib).alias("g"))
+                 .groupBy(F.col("g.bkt").alias("bkt"))
+                 .agg(F.sum("g.__gx").alias("__g"))
                  .collect())
         for row in grads:
             if row["bkt"] < 0:
@@ -116,8 +130,7 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     # unlike ops returning lazy frames, training consumes its pins HERE
     # (the last epoch's collect) — release them instead of deferring to
     # the caller's release_all()
-    feats.unpersist()
-    labels.unpersist()
+    packed.unpersist()
     return w, bias
 
 
@@ -126,16 +139,25 @@ def classifier_score(docs: DataFrame, weights: list[float], bias: float,
                      out_col: str = "quality_prob") -> DataFrame:
     """Score documents with a trained linear classifier: input columns +
     `out_col` (rounded to 6). Docs with no in-vocabulary tokens score
-    sigmoid(bias). One tokenize scan + one broadcast join — no corpus
-    shuffle beyond the per-doc partial agg."""
-    spark = docs.sparkSession
-    wtable = spark.createDataFrame(
-        [(int(b), float(wb)) for b, wb in enumerate(weights)],
-        "bkt long, w double")
-    feats = hashed_features(docs, text_col, id_col, len(weights))
-    scores = (_score_frame(feats, wtable, bias)
-              .select("id", F.round("__p", 6).alias(out_col)))
+    sigmoid(bias).
+
+    r7: fully ROW-LOCAL — the weights are a constant-folded literal array
+    and the margin is a per-row fold over the tokenized words, so scoring
+    is one narrow projection: no hashed-features shuffle, no score⋈docs
+    join, no broadcast (r6 shape: tokenize + groupBy(id,bkt) exchange +
+    margin exchange + corpus-keyed left join; guide §2.4). Identical up
+    to float-sum order, absorbed by the round-6 output (verified exact
+    vs the oracle)."""
+    b_count = len(weights)
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+    bkt = lambda x: (F.conv(F.substring(F.md5(x), 1, 8), 16, 10)  # noqa: E731
+                     .cast("long") % F.lit(b_count)).cast("int")
+    lin = F.aggregate(words, F.lit(0.0),
+                      lambda acc, x: acc + F.get(w_arr, bkt(x)))
+    p = F.round(F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(lin + F.lit(bias)))), 6)
     empty_p = round(1.0 / (1.0 + math.exp(-bias)), 6)
-    return (docs.join(scores, docs[id_col] == scores["id"], "left")
-            .drop("id")
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(empty_p))))
+    return docs.withColumn(out_col, F.when(F.size(words) > 0, p)
+                           .otherwise(F.lit(empty_p)))
