@@ -433,8 +433,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                          F.col("src").alias("dst")))
                 .distinct()
                 .repartition("dst"))
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))
+    # r7: seed comp = min(id, min neighbor) instead of comp = id — exactly
+    # what round 1 used to compute with a full join+agg+halving pass, for
+    # the cost of folding the min into the node-dedup groupBy the init
+    # already paid; typically saves one whole round. Monotone-contraction
+    # invariant holds (the seed label is a node of the same component), so
+    # the converged fixpoint — and the returned result — is unchanged.
+    labels = (edges.groupBy(F.col("src").alias("id"))
+              .agg(F.least(F.col("id"), F.min("dst")).alias("comp"))
               .localCheckpoint(eager=True))
     for it in range(max_iter):
         t0 = time.time()
@@ -584,23 +590,30 @@ def simhash(docs: DataFrame, text_col: str = "text",
     """(id, simhash: long) — 60-bit SimHash over distinct word unigrams
     (md5-prefix token hashes, majority vote per bit).
 
-    Scale shape: explode tokens -> ONE groupBy(id) with 60 conditional sums
-    (single shuffle, map-side partial aggregation), then fold the votes into
-    the 60-bit signature."""
+    r7: fully ROW-LOCAL — each doc's token hashes are computed once into
+    an array and the 60 per-bit majority votes are array folds
+    (vote_i = 2*ones_i - n), so the op is one narrow projection with NO
+    explode, NO corpus exchange and no 60-buffer aggregate (guide §2.4;
+    the r6 shape shuffled every (doc, token) row into a groupBy(id) with
+    60 conditional sums). Integer arithmetic end to end — bit-identical
+    signatures regardless of partitioning or order."""
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    tok = (docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
-           .withColumn("h", F.conv(F.substring(F.md5(F.col("w")), 1, 15),
-                                   16, 10).cast("long")))
-    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                          1).otherwise(-1)).alias(f"b{i}")
-             for i in range(SIMHASH_BITS)]
-    agg = tok.groupBy("id").agg(*votes)
+    hs = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15),
+                                             16, 10).cast("long"))
+    # materialize the hash array in its own projection: the 60 bit-folds
+    # below each reference it, and inlining would re-run md5 per bit
+    hashed = docs.select(F.col(id_col).alias("id"), hs.alias("__hs"))
+    n = F.size(F.col("__hs"))
     sig = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
+        ones = F.size(F.filter(
+            F.col("__hs"),
+            lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
         sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    return agg.select("id", sig.alias("simhash"))
+            F.when(2 * ones - n > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return hashed.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
