@@ -1677,10 +1677,20 @@ def q48_tfidf_topk(spark, sf_dir):
     never a corpus scan per query — ops/text.py::bm25_topk. bm25 rows
     reuse the schema as (doc_id=query, term=retrieved id, tfidf=score)."""
     docs = _load(spark, sf_dir, "documents")
-    tfidf = (TXT.tfidf_topk(docs, k=3)
+    # r7: both modes consume ONE pinned (id, w, tf) counts frame — the
+    # shingles_df handoff pattern; each mode re-ran the tokenize+count
+    # shuffle before (guide §2.4)
+    words = F.split(D.normalize_text(F.col("text")), " ")
+    tf_shared = pin(docs
+                    .select(F.col("doc_id").alias("id"),
+                            F.explode(words).alias("w"))
+                    .groupBy("id", "w")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+    tfidf = (TXT.tfidf_topk(docs, k=3, tf_df=tf_shared)
              .select(F.lit("tfidf").alias("mode"), "doc_id", "term",
                      "tf", "df", "tfidf", "rank"))
-    bm = (TXT.bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=5)
+    bm = (TXT.bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=5,
+                        tf_df=tf_shared)
           .select(F.lit("bm25").alias("mode"),
                   F.col("query_id").alias("doc_id"),
                   F.col("doc_id").cast("string").alias("term"),

@@ -157,7 +157,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
 
 def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               tf_df: DataFrame | None = None) -> DataFrame:
     """Per-document top-k distinctive terms by smoothed tf-idf — the
     keyword/topic signal a curation pipeline uses for domain tagging and
     diversity sampling. tf = count(term in doc) / n_words; idf =
@@ -169,13 +170,21 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     is vocab-sized — joined BY KEY, never broadcast/collected), and the
     top-k window partitions by DOC (bounded by per-doc vocab, never a
     global sort). N comes from a 1-row aggregate broadcast, not an action.
-    Returns (doc_id, term, tf, df, tfidf, rank)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
-    # persisted: n_words, df and the scoring join all derive from tf —
-    # without the cache the explode+count shuffle runs three times
-    # (measured as triplicate heavy stages at the 10x probe)
-    tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    Returns (doc_id, term, tf, df, tfidf, rank).
+
+    `tf_df` lets a caller that runs several term-frequency ops over the
+    same corpus (e.g. the q48 union entry: tfidf + BM25) pass ONE
+    precomputed/pinned (id, w, tf) frame instead of re-running the
+    tokenize+count shuffle per mode — the shingles_df handoff pattern."""
+    tf = tf_df
+    if tf is None:
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        tok = docs.select(F.col(id_col).alias("id"),
+                          F.explode(words).alias("w"))
+        # persisted: n_words, df and the scoring join all derive from tf —
+        # without the cache the explode+count shuffle runs three times
+        # (measured as triplicate heavy stages at the 10x probe)
+        tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
     n_words = tf.groupBy("id").agg(F.sum("tf").alias("n_words"))
     df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("N"))
@@ -200,7 +209,8 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              tf_df: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 retrieval (Robertson et al.; public): rank corpus docs
     against each query's term set — the targeted-selection primitive a
     curation pipeline uses to pull reference-corpus-like documents out of
@@ -213,13 +223,22 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
     vocab-sized df reduction; query terms join candidates BY TERM KEY
     (inverted-index equi-join — per-query work is bounded by the posting
     lists of its terms, never the corpus); the final top-k windows
-    partition by query. N and avgdl ride a 1-row broadcast."""
+    partition by query. N and avgdl ride a 1-row broadcast.
+
+    `tf_df`: optional precomputed (id, w, tf) counts frame shared with
+    tfidf_topk (see there) — BM25's empty-term filter and double cast are
+    applied on top, so results are identical either way."""
     from pyspark.sql import Window
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    tok = (docs.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
-           .filter(F.col("w") != ""))
-    tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1))
-                                        .cast("double").alias("tf")))
+    if tf_df is not None:
+        tf = (tf_df.filter(F.col("w") != "")
+              .select("id", "w", F.col("tf").cast("double").alias("tf")))
+    else:
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        tok = (docs.select(F.col(id_col).alias("id"),
+                           F.explode(words).alias("w"))
+               .filter(F.col("w") != ""))
+        tf = pin(tok.groupBy("id", "w").agg(F.count(F.lit(1))
+                                            .cast("double").alias("tf")))
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     df_tbl = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
     glob = (tf.agg(F.count_distinct("id").cast("double").alias("N"),
