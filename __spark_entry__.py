@@ -34,21 +34,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan with a scale-adaptive PARALLELISM FLOOR (guide §6 input
-    splits / §2.5 input skew). A single-row-group parquet file is ONE scan
-    split, so without this every downstream per-row expression — shingle
-    HOFs, BPE replace chains, regex scrubs, media decode — runs on one
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          floor: bool = False) -> DataFrame:
+    """Parquet scan, optionally with a scale-adaptive PARALLELISM FLOOR
+    (guide §6 input splits / §2.5 input skew). A single-row-group parquet
+    file is ONE scan split, so every downstream per-row expression —
+    shingle HOFs, BPE replace chains, regex scrubs — otherwise runs on one
     core no matter the master (r7 profile: the whole sf0.1 shingle stream
-    was a single 3.4 s task on local[32]). When the file cannot yield at
-    least defaultParallelism splits, redistribute by a deterministic hash
-    of the lead column (hash repartition skips round-robin's
-    sort-before-repartition pass). On a real multi-terabyte table the scan
-    already has >= cores splits and this is a no-op: one os.stat, no job,
-    no extra exchange."""
+    was a single 3.4 s task on local[32]). With floor=True, when the file
+    cannot yield at least defaultParallelism splits, redistribute by a
+    deterministic hash of the lead column (hash repartition skips
+    round-robin's sort-before-repartition pass).
+
+    floor is OPT-IN per call site because the exchange it adds only pays
+    for itself when substantial narrow per-row work sits between the scan
+    and the first wide operator. The r7 per-query A/B (floor vs plain
+    scan, median of 3 at sf0.1, local[32]) splits cleanly:
+      * per-row-heavy pipelines win big — q33 3.46->0.73, q45 3.65->0.59,
+        q44 8.45->2.86, q55 4.85->1.28, q62 4.03->1.53, q15 10.96->5.11,
+        q43 2.10->0.68, q13 2.17->0.96;
+      * shuffle-first queries (windows/aggs that exchange on their own key
+        immediately, samplers, media decode batching) pay it for nothing —
+        q07 0.92->2.22, q10 1.94->3.56, q49 0.91->1.23, q52 0.51->0.89.
+    On a real multi-terabyte table the scan already has >= cores splits
+    and the branch never fires either way: one os.stat, no job, no extra
+    exchange."""
     import os as _os
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not floor:
+        return df
     try:
         size = _os.path.getsize(path)
     except OSError:
@@ -410,7 +425,7 @@ def q13_feature_stats(spark, sf_dir):
     percentile aggregate, whose per-map value->count hashmaps cost 10.5 s
     at sf1 on this 583k-distinct column (same pathology the q10 cuts frame
     fixed; guide §5 bounded per-task state). 9.7 s -> 4.3 s at sf1."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _load(spark, sf_dir, "lineitem", floor=True)
     grp, v = "l_returnflag", "l_extendedprice"
     probs = [0.25, 0.5, 0.75]
     names = ["q1", "median", "q3"]
@@ -530,7 +545,7 @@ FROM clean
 def q15_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.08 so the
     synthetic corpus yields a non-trivial pair set)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return D.ngram_jaccard_pairs(docs, threshold=0.08)
 
 
@@ -570,7 +585,7 @@ def _hex2int_sql(expr: str, n: int = 8) -> str:
 def q16_minhash(spark, sf_dir):
     """MinHash signature agreement: estimated-Jaccard pairs from 16-hash
     signatures with md5-derived shingle hashes (scale path for q15)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
 
 
@@ -612,7 +627,7 @@ WHERE len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.05
 def q17_simhash(spark, sf_dir):
     """SimHash near-dup pairs (60-bit md5-prefix token hashes, 15-bit band
     blocking) — full signature parity with the DuckDB oracle below."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return D.simhash_pairs(docs, max_hamming=14)
 
 
@@ -696,7 +711,7 @@ def q19_text_quality(spark, sf_dir):
     EXACT epoch loop with a recursive CTE over the same md5-bucketed
     features, so the driver hash-checks trained-model scores end to end."""
     from forex_feature_generator_spark.ops import classifier as CLF
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     heur = (TXT.quality_score(TXT.token_counts(docs))
             .select(F.lit("heuristic").alias("mode"), "doc_id",
                     "n_ws_tokens", "n_bpe_tokens", "n_words",
@@ -805,7 +820,7 @@ FROM clf
 
 def q20_langid(spark, sf_dir):
     """Stopword-voting language ID vs the table's lang column."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     out = TXT.detect_language(docs)
     return out.select("doc_id", "lang", "lang_pred",
                       (F.col("lang") == F.col("lang_pred")).cast("int").alias("agree"))
@@ -845,7 +860,7 @@ FROM v
 def q21_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text + polynomial rolling
     hash of the word sequence."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return (TXT.fingerprint(docs)
             .select("doc_id", "md5_fingerprint", "rolling_fingerprint"))
 
@@ -1129,7 +1144,7 @@ WHERE (lang = 'en' AND {_sql_hash()} < 500000)
 def q32_pii_scrub(spark, sf_dir):
     """Email/URL redaction + counts; the cleaned text is hashed so the
     oracle verifies the full transform without shipping wide strings."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return (TXT.pii_scrub(docs)
             .select("doc_id", "n_emails", "n_urls",
                     F.md5("text_clean").alias("clean_md5")))
@@ -1151,7 +1166,7 @@ FROM s
 def q33_top_ngrams(spark, sf_dir):
     """Corpus top-20 word 3-grams (vocabulary/statistics pass): one
     partial-aggregated count shuffle + deterministic total tie-break."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return TXT.top_ngrams(docs, n=3, k=20)
 
 
@@ -1288,7 +1303,7 @@ def q43_bpe_encode(spark, sf_dir):
     expressions — no UDF, no shuffle; the oracle runs the IDENTICAL replace
     chain in DuckDB."""
     from forex_feature_generator_spark.ops import bpe as BPE
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     enc = BPE.bpe_encode(docs)
     return enc.select("doc_id", "n_bpe_tokens",
                       F.array_join("token_ids", ",").alias("ids_csv"))
@@ -1428,7 +1443,7 @@ def q38_dedup_clusters(spark, sf_dir):
     (iterative min-label propagation; the dedup 'keep one per cluster'
     building block). Oracle: recursive-CTE transitive closure over the same
     pair set."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
     return D.dedup_clusters(pairs)
 
@@ -1456,7 +1471,7 @@ def q44_dedup_keep_best(spark, sf_dir):
     per component — the longest doc (n_chars, id-asc tiebreak); unclustered
     docs are their own singletons. argmax via max_by on a (score, -id)
     struct: one partial-agg groupBy, no per-component sort/window."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.05)
     clusters = D.dedup_clusters(pairs)
     return D.dedup_keep_best(docs, clusters, score_col="n_chars")
@@ -1484,7 +1499,7 @@ def q45_decontaminate(spark, sf_dir):
     3-grams that appear in a benchmark set (here: every 97th doc plays the
     benchmark); docs >= 0.8 overlap are flagged. The benchmark shingle set
     is broadcast — the corpus is scanned once, never self-joined."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return TXT.contamination(docs, benchmark, n=3, threshold=0.8)
 
@@ -1521,7 +1536,7 @@ def q46_bigram_lm(spark, sf_dir):
     P(w2|w1)=(C(w1 w2)+a)/(C(w1)+a(V+1)); per doc the bigram cross-entropy
     (nats) and perplexity. Vocab+unigrams broadcast; the bigram count table
     is joined BY KEY (never broadcast/collected) — see ops/lm.py."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return LM.bigram_lm_scores(docs, vocab_size=24, alpha=0.5)
 
 
@@ -1655,7 +1670,7 @@ def q47_dup_spans(spark, sf_dir):
     word positions covered by an n-gram occurring >=2 times corpus-wide.
     One count shuffle on the md5 key + one join back; interval-union
     arithmetic in pure integer array expressions — see ops/dedup.py."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return D.dup_span_coverage(docs, n=8)
 
 
@@ -1705,7 +1720,7 @@ def q48_tfidf_topk(spark, sf_dir):
     top-5 by BM25 with k1=1.2, b=0.75; posting-list equi-join on term,
     never a corpus scan per query — ops/text.py::bm25_topk. bm25 rows
     reuse the schema as (doc_id=query, term=retrieved id, tfidf=score)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     # r7: both modes consume ONE pinned (id, w, tf) counts frame — the
     # shingles_df handoff pattern; each mode re-ran the tokenize+count
     # shuffle before (guide §2.4)
@@ -1870,7 +1885,7 @@ def q51_semdedup(spark, sf_dir):
     cosine >= t marks near-dups, lowest id kept — see
     ops/similarity.py::semantic_dedup. The oracle mirrors the identical
     deterministic quantizer + pair rule."""
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings", floor=True)
     return (SIM.semantic_dedup(emb, threshold=0.35, n_cells=16)
             .select("vec_id", F.col("cell").cast("long").alias("cell"),
                     "is_dup"))
@@ -1963,7 +1978,7 @@ def q56_chunk_sequences(spark, sf_dir):
     slice / concat projections — no shuffle, no UDF."""
     from forex_feature_generator_spark.engine import tokens as etok
     from forex_feature_generator_spark.ops import bpe as BPE
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     # r7: same keep_cols join-removal as q54 (see there)
     seqs = (BPE.bpe_encode(docs, keep_cols=("source",))
             .select("doc_id", F.col("token_ids").alias("tokens"),
@@ -2112,7 +2127,7 @@ def q55_incremental_dedup(spark, sf_dir):
     rerank — a KEY join of banded signatures, no corpus broadcast, no
     batch x corpus product."""
     from forex_feature_generator_spark.ops import dedup as DD
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     seen_docs = docs.filter(F.col("doc_id") < 250)
     new_docs = docs.filter(F.col("doc_id") >= 250)
     seen = DD.exact_dedup(seen_docs)
@@ -2199,7 +2214,7 @@ def q54_token_sequences(spark, sf_dir):
     frames in SQL."""
     from forex_feature_generator_spark.engine import tokens as etok
     from forex_feature_generator_spark.ops import bpe as BPE
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     # r7: `source` rides the per-row encode projection (keep_cols) — the r6
     # shape re-joined the corpus on doc_id just to fetch it back (guide
     # §2.4: an equi-join of a projection to its own input is a removable
@@ -2463,7 +2478,7 @@ def q15_pair_similarity(spark, sf_dir):
     frame (the normalize+split+explode stream is the shared upstream;
     without the handoff each generator re-derived it from the parquet
     scan — the round-5 multi-evaluation class, this time across ops)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     sh = pin(D.shingles(docs))
 
     def tag(df, method, score_col):
@@ -2729,7 +2744,7 @@ def q62_source_leakage(spark, sf_dir):
     """Cross-shard n-gram leakage matrix (train/train sibling of benchmark
     decontamination): shared distinct 5-gram counts + overlap fraction for
     every source pair — see ops/text.py::cross_source_leakage."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", floor=True)
     return TXT.cross_source_leakage(docs, n=5)
 
 
