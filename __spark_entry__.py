@@ -488,11 +488,16 @@ def q14_dedup_exact(spark, sf_dir):
     doc = (D.exact_dedup(docs)
            .select(F.lit("doc").alias("mode"), "text_hash", "kept_id",
                    F.lit(-1).cast("long").alias("pos"), "n_dupes"))
-    psg = (D.passage_dedup(docs, passage_words=20)
+    # r7: passage + clean modes consume ONE pinned passage stream (the
+    # shingles_df pattern) — each previously re-ran the normalize+split+
+    # explode corpus pass
+    ps = pin(D.passage_stream(docs, passage_words=20))
+    psg = (D.passage_dedup(docs, passage_words=20, passages_df=ps)
            .select(F.lit("passage").alias("mode"),
                    F.col("passage_hash").alias("text_hash"), "kept_id",
                    F.col("pos").cast("long").alias("pos"), "n_dupes"))
-    cln = (D.remove_repeated_passages(docs, passage_words=20)
+    cln = (D.remove_repeated_passages(docs, passage_words=20,
+                                      passages_df=ps)
            .select(F.lit("clean").alias("mode"),
                    F.md5("clean_text").alias("text_hash"),
                    F.col("doc_id").alias("kept_id"),

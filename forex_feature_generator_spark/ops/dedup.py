@@ -75,9 +75,35 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
                  F.count(F.lit(1)).alias("n_batch_dupes")))
 
 
+def passage_stream(docs: DataFrame, passage_words: int = 20,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The shared upstream of passage_dedup / remove_repeated_passages:
+    the normalized text segmented into consecutive `passage_words`-word
+    passages, exploded to (id, pos, p, passage_hash). Callers running more
+    than one passage op over the same corpus should pin() this once and
+    hand it to both (the shingles_df pattern) — each op otherwise re-runs
+    the normalize+split+explode corpus pass."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(words, i * passage_words + 1,
+                                     passage_words)).alias("p")))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.filter(segs, lambda s: s.p != ""))
+                        .alias("seg"))
+            .select("id", F.col("seg.pos").alias("pos"),
+                    F.col("seg.p").alias("p"),
+                    F.md5("seg.p").alias("passage_hash")))
+
+
 def remove_repeated_passages(docs: DataFrame, passage_words: int = 20,
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             passages_df: DataFrame | None = None) -> DataFrame:
     """The RefinedWeb/C4 cleaning step on top of `passage_dedup`: rebuild
     each document keeping only passages that are their corpus-wide FIRST
     occurrence (unique passages always survive; every later repeat of a
@@ -94,20 +120,9 @@ def remove_repeated_passages(docs: DataFrame, passage_words: int = 20,
     reconstruction — O(corpus) like any text transform, partial-agged, no
     window/sort (order restored by sort_array on (pos, passage) structs
     inside the reduced row)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(" ", F.slice(words, i * passage_words + 1,
-                                     passage_words)).alias("p")))
-    passages = pin(docs.select(F.col(id_col).alias("id"),
-                               F.explode(F.filter(segs, lambda s: s.p != ""))
-                               .alias("seg"))
-                   .select("id", F.col("seg.pos").alias("pos"),
-                           F.col("seg.p").alias("p"),
-                           F.md5("seg.p").alias("passage_hash")))
+    passages = (passages_df if passages_df is not None
+                else pin(passage_stream(docs, passage_words,
+                                        text_col, id_col)))
     # first-occurrence table derived from the SAME pinned stream (not a
     # passage_dedup call — that would re-run the explode per branch); the
     # groupBy shuffles only (hash, id, pos), never text
@@ -185,7 +200,8 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def passage_dedup(docs: DataFrame, passage_words: int = 20,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  passages_df: DataFrame | None = None) -> DataFrame:
     """Passage-level exact dedup — the RefinedWeb/C4 'line dedup' analog for
     corpora without line structure: the normalized text is segmented into
     consecutive `passage_words`-word passages (last one may be short), each
@@ -198,20 +214,9 @@ def passage_dedup(docs: DataFrame, passage_words: int = 20,
     only shuffle is ONE partial-aggregated hash groupBy on the 16-byte
     passage key (never passage text); min-by (id, pos) struct picks the
     canonical occurrence without a window/sort."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(" ", F.slice(words, i * passage_words + 1,
-                                     passage_words)).alias("p")))
-    exploded = (docs.filter(F.size(words) > 0)
-                .select(F.col(id_col).alias("id"),
-                        F.explode(F.filter(segs, lambda s: s.p != ""))
-                        .alias("seg"))
-                .select("id", F.col("seg.pos").alias("pos"),
-                        F.md5("seg.p").alias("passage_hash")))
+    exploded = ((passages_df if passages_df is not None
+                 else passage_stream(docs, passage_words, text_col, id_col))
+                .select("id", "pos", "passage_hash"))
     first = F.min_by(F.struct("id", "pos"),
                      F.struct("id", "pos")).alias("first_occ")
     return (exploded.groupBy("passage_hash")

@@ -345,7 +345,12 @@ def unigram_kl(docs: DataFrame, text_col: str = "text",
                          F.explode(F.split(normalize_text(F.col(text_col)),
                                            " ")).alias("w"))
              .filter(F.col("w") != ""))
-    gw = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("n_gw"))
+    # pinned: the (G x V)-row count table is the root of FOUR consumers
+    # below (g_tot, w_tot, tot, join spine) — without the cache the
+    # explode + partial-agg corpus pipeline re-evaluates once per consumer
+    # (r7 A/B: 0.84 s -> 0.67 s at sf0.1; at scale it is 3 saved corpus
+    # scans). The cached frame is vocab-sized, never corpus-sized.
+    gw = pin(words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("n_gw")))
     g_tot = gw.groupBy("grp").agg(F.sum("n_gw").alias("n_g"))
     w_tot = gw.groupBy("w").agg(F.sum("n_gw").alias("n_w"))
     tot = gw.agg(F.sum("n_gw").alias("n_c"))
