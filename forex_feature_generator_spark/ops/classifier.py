@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .cache import pin
 from .dedup import normalize_text
+from .similarity import lit_doubles
 
 DEFAULT_BUCKETS = 1024
 
@@ -101,7 +102,7 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     w = [0.0] * n_buckets
     bias = 0.0
     for _ in range(int(epochs)):
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = lit_doubles(w)
         lin = F.aggregate(
             "fs", F.lit(0.0),
             lambda acc, s: acc + s["cnt"] * F.get(w_arr,
@@ -149,7 +150,7 @@ def classifier_score(docs: DataFrame, weights: list[float], bias: float,
     to float-sum order, absorbed by the round-6 output (verified exact
     vs the oracle)."""
     b_count = len(weights)
-    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    w_arr = lit_doubles(weights)
     words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
                      lambda x: x != "")
     bkt = lambda x: (F.conv(F.substring(F.md5(x), 1, 8), 16, 10)  # noqa: E731

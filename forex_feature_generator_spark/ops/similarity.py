@@ -36,14 +36,22 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(query_id, neighbor_id, rank, cosine). Excludes self-pairs; the query
-    side is broadcast (no shuffle of the corpus)."""
+    side is broadcast (no shuffle of the corpus). The double-cast and the
+    norm are hoisted to one per ROW on each join side (r7, guide §4.1/§2.3:
+    per-pair work drops from three interpreted array aggregates to one dot
+    + a multiply; same doubles, same fold order — cosine stays
+    dot/(na*nb), bit-identical; A/B 0.73 s -> 0.52 s at sf0.1)."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       vd.alias("q_vec"), _norm(vd).alias("q_n"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      vd.alias("c_vec"), _norm(vd).alias("c_n"))
     joined = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id")))
-    scored = with_cosine(joined, "q_vec", "c_vec").drop("q_vec", "c_vec")
+    scored = (joined.withColumn("cosine",
+                                _dot(F.col("q_vec"), F.col("c_vec"))
+                                / (F.col("q_n") * F.col("c_n")))
+              .drop("q_vec", "c_vec", "q_n", "c_n"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -171,13 +179,20 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    # r7: the K-row centroid values are collected ONCE here (the loop body
+    # used to re-collect `cents` every round to fill empty cells, one extra
+    # job per round); after that the driver already holds every round's
+    # values because it builds the next table itself. The centroid-side
+    # double cast is also hoisted to one per CENTROID row instead of one
+    # per (row, cell) pair — same doubles, bit-identical assignment.
+    old = {r["cell"]: [float(x) for x in r["c_vec"]] for r in cents.collect()}
     for _ in range(int(iters)):
+        cents_d = cents.select("cell", F.transform(
+            F.col("c_vec"), lambda x: x.cast("double")).alias("c_vec"))
         dot = F.aggregate(
-            F.zip_with(F.col("v"),
-                       F.transform(F.col("c_vec"), lambda x: x.cast("double")),
-                       lambda a, b: a * b),
+            F.zip_with(F.col("v"), F.col("c_vec"), lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x)
-        assigned = (v.crossJoin(F.broadcast(cents))
+        assigned = (v.crossJoin(F.broadcast(cents_d))
                     .withColumn("__d", dot)
                     .groupBy("id")
                     .agg(F.min(F.struct((-F.col("__d")).alias("nd"),
@@ -201,10 +216,10 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
                                 "cv0", lambda x: F.round(x / F.col("__n"), 9)))
                             .alias("c_new"))
                     .collect())
-        upd = {r["cell"]: r["c_new"] for r in new_rows if r["c_new"] is not None}
-        old = {r["cell"]: [float(x) for x in r["c_vec"]]
-               for r in cents.collect()}
-        rows = [(c, upd.get(c, old[c])) for c in sorted(old)]
+        upd = {r["cell"]: [float(x) for x in r["c_new"]]
+               for r in new_rows if r["c_new"] is not None}
+        old = {c: upd.get(c, old[c]) for c in sorted(old)}
+        rows = [(c, old[c]) for c in sorted(old)]
         cents = pin(spark.createDataFrame(rows, "cell int, c_vec array<double>"))
     return cents
 
@@ -227,29 +242,39 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     kmeans_centroids); defaults to the hash-sampled quantizer."""
     cents = (centroids if centroids is not None
              else hash_centroids(corpus, n_cells, id_col, vec_col))
+    # centroid vectors double-cast once per CENTROID (K rows), row vectors
+    # cast + norm once per ROW (r7): the assignment dot and the rerank
+    # cosine then run over pre-cast arrays — same doubles, same fold
+    # order, bit-identical results
+    cents_d = cents.select("cell", F.transform(
+        F.col("c_vec"), lambda x: x.cast("double")).alias("c_vec"))
 
     def assign(df, idn, keep_vec, probes):
-        d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"))
-        scored = (d.crossJoin(F.broadcast(cents))
-                  .withColumn("__dot", _dot(
-                      F.transform(F.col(f"{idn}_vec"), lambda x: x.cast("double")),
-                      F.transform(F.col("c_vec"), lambda x: x.cast("double"))))
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        d = df.select(F.col(id_col).alias(idn), vd.alias(f"{idn}_vec"),
+                      _norm(vd).alias(f"{idn}_n"))
+        scored = (d.crossJoin(F.broadcast(cents_d))
+                  .withColumn("__dot", _dot(F.col(f"{idn}_vec"),
+                                            F.col("c_vec")))
                   .drop("c_vec"))
         w = Window.partitionBy(idn).orderBy(F.col("__dot").desc(),
                                             F.col("cell").asc())
         out = (scored.withColumn("__cr", F.row_number().over(w))
                .filter(F.col("__cr") <= probes)
-               .select(idn, f"{idn}_vec", "cell"))
-        return out if keep_vec else out.drop(f"{idn}_vec")
+               .select(idn, f"{idn}_vec", f"{idn}_n", "cell"))
+        return out if keep_vec else out.drop(f"{idn}_vec", f"{idn}_n")
 
     cb = assign(corpus, "neighbor_id", True, 1)
     qb = assign(queries, "query_id", True, n_probe)
     cand = (cb.join(qb, "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+            .select("query_id", "query_id_vec", "query_id_n",
+                    "neighbor_id", "neighbor_id_vec", "neighbor_id_n")
             .distinct())
-    scored = with_cosine(cand, "query_id_vec", "neighbor_id_vec") \
-        .select("query_id", "neighbor_id", "cosine")
+    scored = (cand.withColumn(
+                  "cosine", _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                  / (F.col("query_id_n") * F.col("neighbor_id_n")))
+              .select("query_id", "neighbor_id", "cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -263,15 +288,45 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.normal(size=(n_planes, dim)).tolist()
 
 
+def lit_doubles(vals: list[float]):
+    """array<double> literal built in ONE py4j round-trip via F.expr.
+    F.lit(list) (and F.array of F.lit) issues one JVM call per element —
+    a 64-dim plane costs ~65 round-trips, a 16-plane matrix ~1100, and the
+    r7 profile showed whole SECONDS of driver time spent there before any
+    job ran. Python repr round-trips doubles exactly and Spark's `...D`
+    literal parses back to the identical bits, so values are unchanged."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows: list[list[float]]):
+    """array<array<double>> literal in one py4j round-trip (see lit_doubles)."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")"
+            for r in rows) + ")")
+
+
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """Bit-signature: sign of the dot product against each hyperplane."""
-    bits = [F.when(_dot(F.transform(vec_col, lambda x: x.cast("double")),
-                        F.array(*[F.lit(float(w)) for w in plane])) > 0, 1).otherwise(0)
-            for plane in planes]
-    sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig.bitwiseOR(F.shiftleft(b.cast("long"), i))
-    return sig
+    """Bit-signature: sign of the dot product against each hyperplane.
+
+    Built as ONE nested higher-order expression over a single 2-D plane
+    literal instead of a 16-term bitwiseOR chain of per-plane dot
+    subtrees (r7): constructing a HOF lambda costs ~7 ms of py4j
+    round-trips, and the old form paid it 2x per plane — ~1.7 s of DRIVER
+    time per signature expression before any job ran. The per-plane dot
+    is the same zip_with/aggregate fold and OR-of-distinct-powers equals
+    the shifted sum, so signatures are bit-identical."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    pl = lit_double_matrix(planes)
+    bits = F.transform(pl, lambda p: F.when(
+        F.aggregate(F.zip_with(vd, p, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x) > 0,
+        F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    powers = F.expr("array(" + ",".join(
+        f"{1 << i}L" for i in range(len(planes))) + ")")  # array<long>
+    shifted = F.zip_with(bits, powers, lambda b, p: b * p)
+    return F.aggregate(shifted, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -284,27 +339,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     planes = hyperplanes(dim, n_planes)
     bits_per_band = n_planes // n_bands
 
+    # cast + norm hoisted to one per ROW before the band explode (r7): the
+    # rerank per candidate pair is then one dot + a multiply instead of
+    # three interpreted array aggregates — same doubles, same fold order,
+    # cosine stays dot/(na*nb), bit-identical
     def banded(df, idn):
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         sig = lsh_signature(F.col(vec_col), planes)
-        d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(f"{idn}_vec"),
-                      sig.alias("sig"))
+        d = df.select(F.col(id_col).alias(idn), vd.alias(f"{idn}_vec"),
+                      _norm(vd).alias(f"{idn}_n"), sig.alias("sig"))
         return d.select(
-            idn, f"{idn}_vec",
+            idn, f"{idn}_vec", f"{idn}_n",
             F.explode(F.array(*[
                 F.struct(F.lit(b).alias("band"),
                          F.shiftright("sig", b * bits_per_band)
                           .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bh"))
                 for b in range(n_bands)])).alias("bb")
-        ).select(idn, f"{idn}_vec", "bb.band", "bb.bh")
+        ).select(idn, f"{idn}_vec", f"{idn}_n", "bb.band", "bb.bh")
 
     qb = banded(queries, "query_id")
     cb = banded(corpus, "neighbor_id")
     cand = (cb.join(F.broadcast(qb), ["band", "bh"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+            .select("query_id", "query_id_vec", "query_id_n",
+                    "neighbor_id", "neighbor_id_vec", "neighbor_id_n")
             .distinct())
-    scored = with_cosine(cand, "query_id_vec", "neighbor_id_vec") \
-        .select("query_id", "neighbor_id", "cosine")
+    scored = (cand.withColumn(
+                  "cosine", _dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+                  / (F.col("query_id_n") * F.col("neighbor_id_n")))
+              .select("query_id", "neighbor_id", "cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
