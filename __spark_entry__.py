@@ -2445,19 +2445,26 @@ def q10_norm_binning(spark, sf_dir):
              .select(F.transform("cuts",
                                  lambda c: F.round(c, 4)).alias("cuts")))
     j = li.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(cutsf))
+    # r7: ONE keys-hash repartition shared by all three join sides (guide
+    # §2.4 "two operations keyed the same way can share one exchange"):
+    # z/mm/qb previously each paid their own pre-SMJ exchange of the
+    # 600k-row frame; deriving them from a common repartitioned parent
+    # turns those into one reused exchange + per-side sorts
+    # (3.01 s -> 2.08 s at sf0.1, same-session A/B median of 3).
+    jr = j.repartition(spark.sparkContext.defaultParallelism, *keys)
     dec = F.size(F.filter(F.col("cuts"),
                           lambda c: F.col("l_extendedprice") >= c))
-    z = j.select(
+    z = jr.select(
         *keys,
         F.round((F.col("l_extendedprice") - F.col("mp")) / F.col("sp"),
                 6).alias("z_price"),
         F.round((F.col("l_quantity") - F.col("mq")) / F.col("sq"),
                 6).alias("z_qty"))
-    mm = j.select(*keys,
-                  F.round(2 * (F.col("l_extendedprice") - F.col("mn"))
-                          / (F.col("mx") - F.col("mn")) - 1,
-                          6).alias("mm_price"))
-    qb = j.select(*keys, dec.cast("int").alias("price_decile"))
+    mm = jr.select(*keys,
+                   F.round(2 * (F.col("l_extendedprice") - F.col("mn"))
+                           / (F.col("mx") - F.col("mn")) - 1,
+                           6).alias("mm_price"))
+    qb = jr.select(*keys, dec.cast("int").alias("price_decile"))
     return z.join(mm, keys).join(qb, keys)
 
 
