@@ -227,10 +227,33 @@ def passage_dedup(docs: DataFrame, passage_words: int = 20,
                     "n_dupes"))
 
 
+def hot_shingle_stats(shingles_df: DataFrame,
+                      hot_df: int = 1000) -> DataFrame:
+    """Observability probe for the exact-Jaccard self-join: ONE row with
+      max_df          — highest corpus-wide document frequency of any
+                        shingle,
+      n_hot           — shingles with df > `hot_df`,
+      candidate_pairs — sum df*(df-1)/2, the exact row count the shingle
+                        self-join will produce.
+    A boilerplate shingle shared by 1e5 docs silently makes the exact mode
+    produce ~5e9 pairs for that one key; this probe is the cheap (one
+    partial-agg groupBy on the shingle key) way to see it coming BEFORE
+    running the join. Not part of the query path — run it as a diagnostic,
+    or gate a pipeline on it (see ngram_jaccard_pairs `max_df`)."""
+    df_counts = shingles_df.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"))
+    return df_counts.agg(
+        F.max("df").alias("max_df"),
+        F.sum((F.col("df") > hot_df).cast("long")).alias("n_hot"),
+        F.sum((F.col("df") * (F.col("df") - 1) / 2).cast("long"))
+        .alias("candidate_pairs"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3,
-                        shingles_df: DataFrame | None = None) -> DataFrame:
+                        shingles_df: DataFrame | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Exact Jaccard >= threshold pairs (a < b) via shingle equi-self-join.
     Correctness baseline; quadratic in duplicate-cluster size — use
     minhash_lsh_pairs at scale.
@@ -245,10 +268,22 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     `shingles_df` lets a caller that runs several shingle-based generators
     over the same corpus (e.g. the q15 union entry: exact + MinHash) pass
     ONE precomputed/pinned `shingles()` frame instead of re-deriving the
-    normalize+split+explode stream per generator."""
+    normalize+split+explode stream per generator.
+
+    `max_df` (opt-in, RESULTS-CHANGING, default off): drop shingles whose
+    corpus-wide document frequency exceeds it before the self-join. The
+    join is quadratic per shingle key — one boilerplate shingle in 1e5
+    docs is ~5e9 candidate pairs — and a df-capped run computes Jaccard
+    over the REDUCED shingle sets (both intersection and sizes), so it is
+    a different (documented) statistic: use hot_shingle_stats() first to
+    see whether the corpus needs it; the default path is untouched."""
     sh = pin((shingles(docs, text_col, id_col, n)
               if shingles_df is None else shingles_df)
              .select("id", F.xxhash64("shingle").alias("sh")))
+    if max_df is not None:
+        dfc = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") <= int(max_df)).select("sh"))
+        sh = pin(sh.join(dfc, "sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

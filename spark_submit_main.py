@@ -159,7 +159,12 @@ def main() -> None:
         from pyspark.sql import functions as F
         from forex_feature_generator_spark.ops import dedup as DD
         from forex_feature_generator_spark.ops import text as OTXT
-        docs = ticks
+        # NULL text would hash to a NULL key (md5(normalize(NULL)) IS
+        # NULL) and silently vanish through the null-unsafe keeper join —
+        # coalesce to '' so every input doc gets a verdict row (dirty
+        # shards keep the len(out) == len(in) contract; a null-text doc
+        # behaves like an empty one: never canonical-unique, never kept)
+        docs = ticks.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         keepers = DD.exact_dedup(docs).select("text_hash", "kept_id")
         scored = OTXT.detect_language(
             OTXT.quality_score(OTXT.token_counts(docs)))

@@ -2319,3 +2319,32 @@ def test_ops_cache_release(spark, docs):
     assert sc._jsc.getPersistentRDDs().size() == before
     # idempotent: a second release is a no-op, not an error
     assert C.release_all() == 0
+
+
+def test_hot_shingle_stats_and_max_df(spark):
+    """Planted hot-shingle corpus (VERDICT r6 #5): every doc shares one
+    boilerplate 3-gram, so the exact-Jaccard self-join would touch
+    n*(n-1)/2 pairs through that single key. The probe must report it, and
+    the opt-in max_df guard must collapse the candidate set; the default
+    path stays untouched."""
+    n_docs = 30
+    rows = [(i, f"shared boilerplate footer unique{i} filler{i} tail{i}")
+            for i in range(n_docs)]
+    docs = spark.createDataFrame(pd.DataFrame(rows,
+                                              columns=["doc_id", "text"]))
+    sh = D.shingles(docs)
+    stats = D.hot_shingle_stats(sh, hot_df=10).collect()[0]
+    # 'shared boilerplate footer' occurs once per doc -> df == n_docs
+    assert stats["max_df"] == n_docs
+    assert stats["n_hot"] == 1
+    # candidate_pairs counts the quadratic blowup of the hot key
+    assert stats["candidate_pairs"] >= n_docs * (n_docs - 1) // 2
+
+    # default path: every pair shares the hot shingle (jaccard 1/7 ~ .143)
+    dflt = D.ngram_jaccard_pairs(docs, threshold=0.01)
+    assert dflt.count() == n_docs * (n_docs - 1) // 2
+    # guard on: the hot shingle is dropped, docs share nothing
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.01, max_df=10)
+    assert capped.count() == 0
+    from forex_feature_generator_spark.ops.cache import release_all
+    release_all()
