@@ -48,10 +48,18 @@ def main():
     if not names:
         print("usage: python verify_extra.py <query> [...]")
         return 1
-    from forex_feature_generator_spark.engine.session import get_spark
     from forex_feature_generator_spark.ops import cache as opcache
-    spark = get_spark("verify_extra", master="local[8]",
-                      shuffle_partitions=8)
+    if "--vanilla" in names:
+        # the driver's CORRECTNESS gate runs a VANILLA session (ANSI on,
+        # default confs) — replicate it so ANSI-only failures surface here
+        names.remove("--vanilla")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("verify_extra_vanilla").getOrCreate())
+    else:
+        from forex_feature_generator_spark.engine.session import get_spark
+        spark = get_spark("verify_extra", master="local[8]",
+                          shuffle_partitions=8)
     qs, oracles = em.queries(), em.oracle_sql()
     rc = 0
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
