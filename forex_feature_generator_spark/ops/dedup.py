@@ -631,29 +631,48 @@ def simhash(docs: DataFrame, text_col: str = "text",
     (md5-prefix token hashes, majority vote per bit).
 
     r7: fully ROW-LOCAL — each doc's token hashes are computed once into
-    an array and the 60 per-bit majority votes are array folds
-    (vote_i = 2*ones_i - n), so the op is one narrow projection with NO
-    explode, NO corpus exchange and no 60-buffer aggregate (guide §2.4;
-    the r6 shape shuffled every (doc, token) row into a groupBy(id) with
-    60 conditional sums). Integer arithmetic end to end — bit-identical
-    signatures regardless of partitioning or order."""
+    an array (JVM md5, same as the oracle) with NO explode and NO corpus
+    exchange (the r6 shape shuffled every (doc, token) row into a
+    groupBy(id) with 60 conditional sums). The 60 per-bit majority votes
+    run as vectorized numpy over Arrow batches (guide §4.2): the
+    interpreted form — 60 array-filter lambdas per row, ~60xL lambda
+    evaluations — cost 1.38 s at sf0.1 vs 0.40 s for the batched
+    bit-matrix cumsum below (A/B, bit-identical on all 5000 docs).
+    Integer arithmetic end to end — identical signatures regardless of
+    partitioning, order or batch boundaries; a NULL token array yields
+    sig 0 on both paths."""
+    import numpy as np
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     hs = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15),
                                              16, 10).cast("long"))
-    # materialize the hash array in its own projection: the 60 bit-folds
-    # below each reference it, and inlining would re-run md5 per bit
     hashed = docs.select(F.col(id_col).alias("id"), hs.alias("__hs"))
-    n = F.size(F.col("__hs"))
-    sig = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        ones = F.size(F.filter(
-            F.col("__hs"),
-            lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
-        sig = sig.bitwiseOR(
-            F.when(2 * ones - n > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long")))
-    return hashed.select("id", sig.alias("simhash"))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    powers = np.int64(1) << shifts
+
+    def votes(batches):
+        import pandas as pd
+        for pdf in batches:
+            arrs = pdf["__hs"].values
+            lens = np.array([0 if a is None else len(a) for a in arrs],
+                            dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in arrs
+                     if a is not None and len(a)])
+                bits = (flat[:, None] >> shifts) & 1          # (T, 60)
+                csum = np.zeros((len(flat) + 1, SIMHASH_BITS),
+                                dtype=np.int64)
+                np.cumsum(bits, axis=0, out=csum[1:])
+                ends = np.cumsum(lens)
+                ones = csum[ends] - csum[ends - lens]         # (N, 60)
+            else:
+                ones = np.zeros((len(arrs), SIMHASH_BITS), dtype=np.int64)
+            sig = np.where(2 * ones - lens[:, None] > 0, powers, 0) \
+                .sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": sig})
+
+    id_t = hashed.schema["id"].dataType.simpleString()
+    return hashed.mapInPandas(votes, f"id {id_t}, simhash long")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
