@@ -2537,11 +2537,18 @@ def q18_ann_methods(spark, sf_dir):
                          "neighbor_id", "rank", "cosine")
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
+    # r7: ONE pinned hash-sampled quantizer feeds both the plain-IVF mode
+    # and the Lloyd seed — the entry previously built it twice (two
+    # distributed TakeOrdered jobs over the corpus)
+    hc = SIM.hash_centroids(emb, 16)
+    ivf = SIM.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=2,
+                       centroids=hc)
     ivfk = SIM.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=2,
-                        centroids=SIM.kmeans_centroids(emb, 16, iters=3))
+                        centroids=SIM.kmeans_centroids(
+                            emb, 16, iters=3, seed_centroids=hc))
     return (tag(q18_ann_cosine(spark, sf_dir), "brute")
             .unionByName(tag(q29_ann_lsh(spark, sf_dir), "lsh"))
-            .unionByName(tag(q37_ann_ivf(spark, sf_dir), "ivf"))
+            .unionByName(tag(ivf, "ivf"))
             .unionByName(tag(ivfk, "ivfk")))
 
 

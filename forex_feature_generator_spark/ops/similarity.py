@@ -153,7 +153,8 @@ def hash_centroids(corpus: DataFrame, n_cells: int,
 
 def kmeans_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     seed_centroids: DataFrame | None = None) -> DataFrame:
     """Lloyd-refined spherical quantizer — the FAISS-style IVF *training*
     step (Jégou et al. 2011; public). Starts from the deterministic
     hash_centroids seed, then `iters` rounds of: assign every vector to
@@ -175,7 +176,12 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int, iters: int = 3,
     classic distributed Lloyd's layout, same skeleton as
     ops/classifier.py's GD loop."""
     spark = corpus.sparkSession
-    cents = hash_centroids(corpus, n_cells, id_col, vec_col)
+    # seed_centroids: callers that already hold the pinned hash-sampled
+    # quantizer (e.g. an entry running the plain-IVF mode beside the
+    # refined one) pass it here instead of paying a second distributed
+    # TakeOrdered over the corpus
+    cents = (seed_centroids if seed_centroids is not None
+             else hash_centroids(corpus, n_cells, id_col, vec_col))
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
